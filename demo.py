@@ -1,0 +1,118 @@
+"""End-to-end demo: long-video QA with ReTaKe-TPU.
+
+Counterpart of the reference demo (demo.py:167-220): loads a config, a
+Qwen2-VL checkpoint, samples a video at the configured fps/resolution, and
+answers the three golden multiple-choice questions (expected A, B, C).
+
+Without a local checkpoint (this environment has no network egress), pass
+--random-weights to smoke-test the full pipeline on random weights at real
+geometry — tokens are meaningless but every stage (ViT chunking, DPSelect,
+chunked prefill, PivotKV, decode) executes.
+
+Usage:
+  python demo.py --hf_path /path/to/Qwen2-VL-7B-Instruct \
+      --config configs/retake_demo.yaml --video my_video.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+DEMO_QUESTIONS = [
+    "As depicted in the video, how is the relationship between the rabbit and"
+    " human?\nOptions:\nA. Hostile.\nB. Friend.\nC. Cooperator.\nD. No one is"
+    " correct above.\nAnswer with the option's letter from the given choices"
+    " directly.",
+    "What is the impression of the video?\nOptions:\nA. Sad.\nB. Funny.\nC."
+    " Horrible.\nD. Silent.\nAnswer with the option's letter from the given"
+    " choices directly.",
+    "What is the subject of the video?\nOptions:\nA. Rabbit likes to eat"
+    " carrots.\nB. How to raise a rabbit.\nC. A rabbit gives people trouble."
+    "\nD. A rabbit performs for food.\nAnswer with the option's letter from"
+    " the given choices directly.",
+]
+EXPECTED_ANSWERS = ["A", "B", "C"]
+
+
+class _StubTokenizer:
+    """Byte-level stand-in so --random-weights runs without tokenizer files."""
+
+    def encode(self, s):
+        return [7 + (b % 1000) for b in s.encode()][:512]
+
+    def decode(self, ids, **kw):
+        return " ".join(str(i) for i in ids)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--hf_path", type=str, default=None)
+    p.add_argument("--config", type=str, default="configs/retake_demo.yaml")
+    p.add_argument("--video", type=str, default=None)
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--frames", type=int, default=None,
+                   help="synthetic frame count when no --video is given")
+    args = p.parse_args()
+
+    from retake_tpu.data.processor import Qwen2VLProcessor
+    from retake_tpu.data.video import fetch_video
+    from retake_tpu.models.qwen2_vl import params as params_lib
+    from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+    from retake_tpu.runtime.engine import Qwen2VLEngine
+    from retake_tpu.utils.config import RetakeConfig
+
+    rt = RetakeConfig.from_yaml(args.config)
+
+    if args.random_weights or not args.hf_path:
+        print("== random-weights smoke mode (no checkpoint) ==")
+        cfg = Qwen2VLConfig(
+            vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+            num_hidden_layers=28, num_attention_heads=12,
+            num_key_value_heads=2, tie_word_embeddings=True,
+        )
+        params = params_lib.init_params(cfg, seed=0)
+        processor = Qwen2VLProcessor(_StubTokenizer())
+    else:
+        cfg = Qwen2VLConfig.from_pretrained(args.hf_path)
+        params = params_lib.load_safetensors(args.hf_path, cfg)
+        processor = Qwen2VLProcessor.from_pretrained(args.hf_path)
+
+    engine = Qwen2VLEngine(cfg, params, rt)
+
+    if args.video:
+        frames = fetch_video(
+            args.video, rt.max_num_frames, rt.sample_fps, rt.longsize_resolution
+        )
+    else:
+        n = args.frames or 64
+        print(f"no --video given: synthesizing {n} random frames")
+        rng = np.random.default_rng(0)
+        frames = [
+            rng.integers(0, 255, size=(252, 448, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+
+    for question, expected in zip(DEMO_QUESTIONS, EXPECTED_ANSWERS):
+        inputs = processor(question, frames)
+        t0 = time.perf_counter()
+        result = engine.generate(
+            inputs["input_ids"],
+            inputs["pixel_values_videos"],
+            inputs["video_grid_thw"],
+            max_new_tokens=rt.max_new_tokens,
+        )
+        dt = time.perf_counter() - t0
+        print(f"\nQ: {question.splitlines()[0]}")
+        print(f"A: {processor.decode(result.tokens)!r}")
+        print(f"expected: {expected}")
+        print(
+            f"[{dt:.1f}s total | prefill {result.prefill_seconds:.1f}s | "
+            f"input {result.input_len} tok -> cache {result.cache_len} tok]"
+        )
+
+
+if __name__ == "__main__":
+    main()

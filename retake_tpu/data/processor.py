@@ -1,0 +1,178 @@
+"""Qwen2-VL preprocessing: smart resize, patchify, chat template, tokenizer.
+
+Host-side replacement for the HF ``AutoProcessor`` the reference loads
+(demo.py:137, infer_eval.py:72): video frames -> normalized flattened patches
+in the spatial-merge block order the vision tower expects, plus prompt
+construction with the video placeholder expanded to the token count implied by
+the processed grid. Tokenization uses a HF tokenizer when checkpoint files are
+available; tests inject a stub.
+
+Numerical parity targets the HF Qwen2VLImageProcessor: bicubic resize to
+factor-28 multiples under min/max pixel budgets, CLIP mean/std normalization,
+temporal padding by repeating the last frame.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+OPENAI_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+OPENAI_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+DEFAULT_MIN_PIXELS = 56 * 56
+DEFAULT_MAX_PIXELS = 14 * 14 * 4 * 1280
+
+CHAT_TEMPLATE = (
+    "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+    "<|im_start|>user\n{video}{question}<|im_end|>\n"
+    "<|im_start|>assistant\n"
+)
+
+
+def smart_resize(
+    height: int,
+    width: int,
+    factor: int = 28,
+    min_pixels: int = DEFAULT_MIN_PIXELS,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+) -> Tuple[int, int]:
+    """Round (h, w) to multiples of ``factor`` within the pixel budget."""
+    if height < factor or width < factor:
+        raise ValueError(f"image too small: {height}x{width} < factor {factor}")
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("absurd aspect ratio")
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = math.floor(height / beta / factor) * factor
+        w_bar = math.floor(width / beta / factor) * factor
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def _resize_bicubic(frame: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.fromarray(frame)
+    return np.asarray(img.resize((out_w, out_h), resample=Image.BICUBIC))
+
+
+def preprocess_video(
+    frames: Sequence[np.ndarray],  # T x [H, W, 3] uint8 (RGB)
+    patch_size: int = 14,
+    merge_size: int = 2,
+    temporal_patch_size: int = 2,
+    min_pixels: int = DEFAULT_MIN_PIXELS,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """frames -> (flattened patches [grid_t*gh*gw, C*tps*ps*ps] f32,
+    (grid_t, gh, gw))."""
+    assert len(frames), "empty video"
+    h0, w0 = frames[0].shape[:2]
+    factor = patch_size * merge_size
+    out_h, out_w = smart_resize(h0, w0, factor, min_pixels, max_pixels)
+
+    proc = np.stack([_resize_bicubic(f, out_h, out_w) for f in frames])
+    proc = proc.astype(np.float32) / 255.0
+    proc = (proc - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    proc = proc.transpose(0, 3, 1, 2)  # [T, C, H, W]
+
+    t = proc.shape[0]
+    if t % temporal_patch_size:
+        pad = temporal_patch_size - t % temporal_patch_size
+        proc = np.concatenate([proc, np.repeat(proc[-1:], pad, axis=0)])
+    grid_t = proc.shape[0] // temporal_patch_size
+    c = proc.shape[1]
+    gh, gw = out_h // patch_size, out_w // patch_size
+    m, ps, tps = merge_size, patch_size, temporal_patch_size
+
+    p = proc.reshape(grid_t, tps, c, gh // m, m, ps, gw // m, m, ps)
+    p = p.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = p.reshape(grid_t * gh * gw, c * tps * ps * ps)
+    return np.ascontiguousarray(flat), (grid_t, gh, gw)
+
+
+class Qwen2VLProcessor:
+    """Prompt building + video preprocessing.
+
+    ``tokenizer`` must provide encode(str)->List[int] and decode(List[int])->
+    str; a HF tokenizer works directly. Special video tokens are inserted by
+    id, so the tokenizer never needs to know them.
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        *,
+        vision_start_token_id: int = 151652,
+        vision_end_token_id: int = 151653,
+        video_token_id: int = 151656,
+        patch_size: int = 14,
+        merge_size: int = 2,
+        temporal_patch_size: int = 2,
+        min_pixels: int = DEFAULT_MIN_PIXELS,
+        max_pixels: int = DEFAULT_MAX_PIXELS,
+    ):
+        self.tokenizer = tokenizer
+        self.vision_start_token_id = vision_start_token_id
+        self.vision_end_token_id = vision_end_token_id
+        self.video_token_id = video_token_id
+        self.patch_size = patch_size
+        self.merge_size = merge_size
+        self.temporal_patch_size = temporal_patch_size
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
+
+    @staticmethod
+    def from_pretrained(path: str, **kwargs) -> "Qwen2VLProcessor":
+        from transformers import AutoTokenizer
+
+        return Qwen2VLProcessor(AutoTokenizer.from_pretrained(path), **kwargs)
+
+    def __call__(
+        self,
+        question: str,
+        frames: Optional[Sequence[np.ndarray]] = None,
+    ):
+        """Returns dict(input_ids, pixel_values_videos, video_grid_thw)."""
+        pixel = grid = None
+        video_ids: List[int] = []
+        if frames is not None:
+            pixel, grid = preprocess_video(
+                frames,
+                self.patch_size,
+                self.merge_size,
+                self.temporal_patch_size,
+                self.min_pixels,
+                self.max_pixels,
+            )
+            n_tokens = (grid[0] * grid[1] * grid[2]) // self.merge_size**2
+            video_ids = (
+                [self.vision_start_token_id]
+                + [self.video_token_id] * n_tokens
+                + [self.vision_end_token_id]
+            )
+        pre, post = CHAT_TEMPLATE.split("{video}")
+        post = post.format(question=question)
+        input_ids = (
+            list(self.tokenizer.encode(pre))
+            + video_ids
+            + list(self.tokenizer.encode(post))
+        )
+        return {
+            "input_ids": np.asarray(input_ids, np.int64),
+            "pixel_values_videos": pixel,
+            "video_grid_thw": None if grid is None else np.asarray([grid]),
+        }
+
+    def decode(self, token_ids) -> str:
+        return self.tokenizer.decode(
+            [int(t) for t in token_ids], skip_special_tokens=True
+        )

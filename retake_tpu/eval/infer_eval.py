@@ -1,0 +1,178 @@
+"""Distributed benchmark runner (VideoMME / MLVU / LVBench).
+
+TPU-native rework of the reference's NCCL eval driver (retake/infer_eval.py:
+118-229). The reference spawns one process per GPU, round-robin shards the
+dataset, and merges with ``dist.all_gather_object``. Here:
+
+* multi-host: ``jax.distributed.initialize()`` when launched across hosts
+  (JAX coordination service over DCN); each process drives its local chip(s).
+* sharding: the same ``i % world == rank`` round-robin (answer-parity with
+  the reference's assignment).
+* result merge: per-rank JSON shard files + a coordination barrier, then
+  rank 0 merges and scores — robust to variable-size records where
+  all_gather_object would need pickled object collectives.
+* incremental journaling: each completed sample is appended to the rank
+  shard immediately, so a crashed multi-hour run resumes where it stopped
+  (the reference redoes everything on a crash — SURVEY.md §5).
+
+Outputs are byte-compatible artifacts: anno_id2result.json,
+infer_results.csv, eval_results.csv in ``output_dir``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="ReTaKe-TPU evaluation")
+    p.add_argument("--model_name", type=str, default=None)
+    p.add_argument("--hf_path", "--hf_qwen2vl7b_path", type=str, required=True,
+                   help="HF checkpoint directory (config.json + safetensors)")
+    p.add_argument("--config_path", type=str, required=True)
+    p.add_argument("--video_frame_extraction_fps", type=int, default=25)
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port for jax.distributed (multi-host)")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--resume", action="store_true", default=True)
+    return p.parse_args()
+
+
+def _init_distributed(args):
+    if args.coordinator:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        return jax.process_index(), jax.process_count()
+    return args.process_id, args.num_processes
+
+
+def _load_engine(model_name, hf_path, rt):
+    from retake_tpu.models.qwen2_vl import params as params_lib
+    from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+    from retake_tpu.runtime.engine import Qwen2VLEngine
+
+    name = (model_name or rt.model_name).lower().replace("-", "").replace("_", "")
+    if name == "qwen2vl":
+        cfg = Qwen2VLConfig.from_pretrained(hf_path)
+        params = params_lib.load_safetensors(hf_path, cfg)
+        return Qwen2VLEngine(cfg, params, rt)
+    if name in ("llavaonevision", "llavavideo"):
+        from retake_tpu.models.llava_onevision.model import load_llava_engine
+
+        return load_llava_engine(hf_path, rt)
+    raise NotImplementedError(name)
+
+
+def main():
+    args = parse_args()
+    rank, world = _init_distributed(args)
+
+    from retake_tpu.data.datasets import get_dataset
+    from retake_tpu.data.processor import Qwen2VLProcessor
+    from retake_tpu.data.scorers import get_eval_methods, trim_answer
+    from retake_tpu.utils.config import RetakeConfig
+
+    rt = RetakeConfig.from_yaml(args.config_path)
+    engine = _load_engine(args.model_name, args.hf_path, rt)
+    processor = Qwen2VLProcessor.from_pretrained(args.hf_path)
+
+    dataset = get_dataset(
+        rt.dataset_name,
+        rt.anno_file,
+        processor_kwargs=dict(
+            video_fps=rt.sample_fps,
+            video_maxlen=rt.max_num_frames,
+            image_resolution=rt.longsize_resolution,
+            video_frame_extraction_fps=args.video_frame_extraction_fps,
+        ),
+    )
+
+    out_dir = rt.output_dir or "results/eval"
+    os.makedirs(out_dir, exist_ok=True)
+    shard_file = os.path.join(out_dir, f"shard_{rank:03d}.jsonl")
+
+    done: Dict[int, str] = {}
+    if args.resume and os.path.exists(shard_file):
+        with open(shard_file) as f:
+            for line in f:
+                rec = json.loads(line)
+                done[rec["idx"]] = rec["answer"]
+        print(f"[rank {rank}] resuming: {len(done)} samples already done")
+
+    indices = [i for i in range(len(dataset)) if i % world == rank]
+    metas = {}
+    t_start = time.time()
+    with open(shard_file, "a") as journal:
+        for n, idx in enumerate(indices):
+            i, message, meta = dataset[idx]
+            metas[i] = meta
+            if i in done:
+                continue
+            inputs = processor(message["question"], message["video"])
+            result = engine.generate(
+                inputs["input_ids"],
+                inputs["pixel_values_videos"],
+                inputs["video_grid_thw"],
+                max_new_tokens=rt.max_new_tokens,
+            )
+            answer = trim_answer(processor.decode(result.tokens))
+            journal.write(json.dumps({"idx": i, "answer": answer,
+                                      "meta": _json_safe(meta)}) + "\n")
+            journal.flush()
+            done[i] = answer
+            if n % 10 == 0:
+                rate = (n + 1) / (time.time() - t_start)
+                print(f"[rank {rank}] {n + 1}/{len(indices)} ({rate:.2f}/s)")
+
+    _barrier(args)
+
+    if rank == 0:
+        anno_id2result, anno_id2meta = {}, {}
+        for r in range(world):
+            with open(os.path.join(out_dir, f"shard_{r:03d}.jsonl")) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    anno_id2result[rec["idx"]] = rec["answer"]
+                    anno_id2meta[rec["idx"]] = rec["meta"]
+        eval_func = get_eval_methods(rt.dataset_name)
+        eval_df, infer_df = eval_func(anno_id2result, anno_id2meta)
+        with open(os.path.join(out_dir, "anno_id2result.json"), "w") as f:
+            json.dump({str(k): v for k, v in anno_id2result.items()}, f)
+        infer_df.to_csv(os.path.join(out_dir, "infer_results.csv"), index=False)
+        eval_df.to_csv(os.path.join(out_dir, "eval_results.csv"), index=True)
+        print(eval_df.head())
+
+
+def _json_safe(obj):
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj
+
+
+def _barrier(args):
+    if args.coordinator:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("eval_done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Qwen2(-VL) text decoder: layer-scanned GQA + M-RoPE + PivotKV chunk step.
+
+Native JAX re-design of the reference's patched attention/forward path
+(retake/qwen2_vl.py:42-122 attention semantics, retake/longvideo_cache.py:217-323
+eviction semantics), structured TPU-first:
+
+* parameters are stacked per-layer ([L, ...]) and the 28 layers run under one
+  ``lax.scan`` — single compiled layer body, per-layer KV-cache slices stream
+  through as scan xs/ys;
+* each layer recomputes its own RoPE tables because positions are *per-layer*
+  after eviction (the reference's per-layer ``rotary_emb`` + discontinuity fix,
+  qwen2_vl.py:67-79): the chunk's temporal position row is rebased so it
+  continues the layer's cached last temporal id + 1;
+* eviction produces a compaction permutation (ops/pivotkv.py) and the chunk
+  writes one block per layer at the running cache offset — no dynamic shapes;
+* everything in this module is functionally pure; the engine (runtime/) owns
+  jit boundaries, donation and bucket growth.
+
+Numerics parity: bf16 activations, fp32 RMSNorm statistics, fp32 attention
+softmax (flash-attn-like), fp32 eviction scoring at highest matmul precision,
+and the rotate -> de-rotate -> re-rotate bf16 round-trip exactly as the
+reference performs it.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+from retake_tpu.ops import attention as attn_ops
+from retake_tpu.ops import pivotkv, rope
+from retake_tpu.runtime.cache import KVCache, append_blocks
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return weight * normed
+
+
+def _linear(x, w, b=None):
+    y = x @ w
+    return y if b is None else y + b
+
+
+def _heads(x: jax.Array, num_heads: int, head_dim: int) -> jax.Array:
+    """[S, H*D] -> [H, S, D]"""
+    s = x.shape[0]
+    return x.reshape(s, num_heads, head_dim).transpose(1, 0, 2)
+
+
+def _unheads(x: jax.Array) -> jax.Array:
+    """[H, S, D] -> [S, H*D]"""
+    h, s, d = x.shape
+    return x.transpose(1, 0, 2).reshape(s, h * d)
+
+
+def _layer(
+    cfg: Qwen2VLConfig,
+    inv_freq: jax.Array,
+    attention_scaling: float,
+    compress: bool,
+    reforge: bool,
+    attn_impl: str,
+    carry,
+    xs,
+):
+    """One decoder layer over one chunk. Scanned over the layer axis."""
+    hidden, pos3, valid_len, keypatch, keep_len, cache_len = carry
+    lp, ck, cv, cpos = xs
+    h_dim, kv_heads = cfg.head_dim, cfg.num_key_value_heads
+    n_heads = cfg.num_attention_heads
+    s = hidden.shape[0]
+
+    x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
+    q = _heads(_linear(x, lp["q"]["w"], lp["q"]["b"]), n_heads, h_dim)
+    k = _heads(_linear(x, lp["k"]["w"], lp["k"]["b"]), kv_heads, h_dim)
+    v = _heads(_linear(x, lp["v"]["w"], lp["v"]["b"]), kv_heads, h_dim)
+
+    # Per-layer temporal rebase (reference discontinuity fix, qwen2_vl.py:67-73):
+    # continue this layer's cached temporal ids contiguously.
+    if reforge:
+        prev_t = jnp.where(
+            cache_len > 0, cpos[0, jnp.maximum(cache_len - 1, 0)], -1
+        )
+        delta = prev_t + 1 - pos3[0, 0]
+        pos_layer = pos3.at[0].add(delta)
+    else:
+        pos_layer = pos3
+
+    cos3, sin3 = rope.compute_cos_sin(
+        inv_freq, pos_layer[:, None, :], attention_scaling, hidden.dtype
+    )  # [3, 1, S, D]
+    cos = rope.select_mrope(cos3, cfg.mrope_section)[0]  # [S, D]
+    sin = rope.select_mrope(sin3, cfg.mrope_section)[0]
+    q_rot = rope.apply_rope(q, cos, sin)
+    k_rot = rope.apply_rope(k, cos, sin)
+
+    if attn_impl == "pallas":
+        from retake_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+
+        attn_out = flash_prefill_attention(
+            q_rot, ck, cv, cache_len, k_rot, v, valid_len
+        )
+    elif attn_impl == "flash":
+        attn_out = attn_ops.flash_chunk_attention(
+            q_rot, ck, cv, cache_len, k_rot, v, valid_len
+        )
+    else:
+        attn_out = attn_ops.chunk_prefill_attention(
+            q_rot, ck, cv, cache_len, k_rot, v, valid_len
+        )
+    hidden = hidden + _linear(_unheads(attn_out), lp["o"]["w"])
+
+    x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(_linear(x2, lp["gate"]["w"]))
+    mlp = _linear(gate * _linear(x2, lp["up"]["w"]), lp["down"]["w"])
+    hidden = hidden + mlp
+
+    # --- cache block for this layer
+    valid_mask = jnp.arange(s) < valid_len
+    if not compress:
+        k_block, v_block, pos_block = k_rot, v, pos_layer
+    else:
+        if reforge:
+            # bf16 rotate->de-rotate round-trip, faithful to the reference
+            # (longvideo_cache.py:248-259)
+            q_s = rope.apply_rope(
+                q_rot, cos, sin, reverse=True, attention_scaling=attention_scaling
+            )
+            k_s = rope.apply_rope(
+                k_rot, cos, sin, reverse=True, attention_scaling=attention_scaling
+            )
+        else:
+            q_s, k_s = q_rot, k_rot
+        scores = pivotkv.eviction_scores(q_s, k_s, valid_mask, keypatch)
+        perm, kept_mask = pivotkv.keep_partition(scores, keep_len)
+        v_block = v[:, perm]
+        pos_block = pos_layer[:, perm]
+        if reforge:
+            k_gathered = k_s[:, perm]
+            new_t = pivotkv.rescale_temporal_positions(
+                pos_block[0], kept_mask, keep_len, valid_len
+            )
+            pos_block = pos_block.at[0].set(new_t)
+            cos3c, sin3c = rope.compute_cos_sin(
+                inv_freq, pos_block[:, None, :], attention_scaling, hidden.dtype
+            )
+            cos_c = rope.select_mrope(cos3c, cfg.mrope_section)[0]
+            sin_c = rope.select_mrope(sin3c, cfg.mrope_section)[0]
+            k_block = rope.apply_rope(k_gathered, cos_c, sin_c)
+        else:
+            k_block = k_rot[:, perm]
+
+    carry = (hidden, pos3, valid_len, keypatch, keep_len, cache_len)
+    return carry, (k_block, v_block, pos_block)
+
+
+def decoder_chunk(
+    params: dict,
+    cfg: Qwen2VLConfig,
+    cache: KVCache,
+    hidden: jax.Array,  # [S, d] chunk input embeddings
+    pos3: jax.Array,  # [3, S] int32 global position ids
+    valid_len: jax.Array,  # scalar int32
+    keypatch: jax.Array,  # [S] bool (ignored unless compress)
+    keep_len: jax.Array,  # scalar int32 (ignored unless compress)
+    compress: bool,
+    reforge: bool,
+    attn_impl: str = "xla",
+) -> Tuple[jax.Array, KVCache]:
+    """Run one chunk through all layers; returns (hidden_out, updated cache)."""
+    inv_freq_np, attention_scaling = cfg.rope_params()
+    inv_freq = jnp.asarray(inv_freq_np)
+
+    def body(carry, xs):
+        return _layer(
+            cfg, inv_freq, attention_scaling, compress, reforge, attn_impl,
+            carry, xs,
+        )
+
+    carry0 = (hidden, pos3, valid_len, keypatch, keep_len, cache.length)
+    xs = (params["layers"], cache.k, cache.v, cache.pos)
+    carry, blocks = jax.lax.scan(body, carry0, xs)
+    k_blocks, v_blocks, pos_blocks = blocks
+    advance = keep_len if compress else valid_len
+    new_cache = append_blocks(cache, k_blocks, v_blocks, pos_blocks, advance)
+    return carry[0], new_cache
+
+
+def final_logits(params: dict, cfg: Qwen2VLConfig, hidden_last: jax.Array):
+    """Final RMSNorm + LM head on a single token's hidden state [d] -> [V]."""
+    h = rms_norm(hidden_last[None, :], params["final_ln"], cfg.rms_norm_eps)[0]
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings (Qwen2-VL-2B)
+        head = params["embed_tokens"].T
+    return (h @ head).astype(jnp.float32)
+
+
+def embed(params: dict, token_ids: jax.Array) -> jax.Array:
+    return params["embed_tokens"][token_ids]

@@ -82,6 +82,85 @@ def chunk_prefill_attention(
     return gqa_attention(query, k, v, mask)
 
 
+def flash_chunk_attention(
+    query: jax.Array,  # [H, S, D] RoPE'd chunk queries
+    key_cache: jax.Array,  # [KV, budget, D]
+    value_cache: jax.Array,
+    cache_len: jax.Array,  # scalar int32
+    key_new: jax.Array,  # [KV, S, D]
+    value_new: jax.Array,
+    valid_len: jax.Array,  # scalar int32
+    block_size: int = 1024,
+) -> jax.Array:
+    """Online-softmax (flash) chunk attention scanned over KV blocks.
+
+    Exact same masking semantics as ``chunk_prefill_attention`` but with
+    O(block) memory instead of materializing the full probability matrix —
+    required for large cache budgets (naive full-cache baseline holds ~150k
+    keys at 2048 frames). fp32 running max / sum / accumulator.
+    """
+    num_heads, s, head_dim = query.shape
+    num_kv_heads, budget, _ = key_cache.shape
+    group = num_heads // num_kv_heads
+
+    k_all = jnp.concatenate([key_cache, key_new], axis=1)
+    v_all = jnp.concatenate([value_cache, value_new], axis=1)
+    total = budget + s
+    pad = (-total) % block_size
+    if pad:
+        k_all = jnp.pad(k_all, ((0, 0), (0, pad), (0, 0)))
+        v_all = jnp.pad(v_all, ((0, 0), (0, pad), (0, 0)))
+    num_blocks = (total + pad) // block_size
+
+    # keep matmul inputs in the activation dtype (bf16 on the MXU, fp32
+    # accumulation via preferred_element_type) — flash-attn-equivalent
+    # numerics; the online-softmax state (m, l, acc) stays fp32
+    q = query.reshape(num_kv_heads, group, s, head_dim)
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    qi = jnp.arange(s)[:, None]  # query row index within the chunk
+
+    k_blocks = k_all.reshape(num_kv_heads, num_blocks, block_size, head_dim)
+    v_blocks = v_all.reshape(num_kv_heads, num_blocks, block_size, head_dim)
+
+    def body(carry, xs):
+        m, l, acc = carry
+        kb, vb, start = xs  # [KV, B, D], [KV, B, D], scalar
+        col = start + jnp.arange(block_size)[None, :]  # [1, B] global col idx
+        in_cache = (col < cache_len) & (col < budget)
+        cj = col - budget  # chunk-local column index
+        in_chunk = (col >= budget) & (cj <= qi) & ((cj < valid_len) | (cj == qi))
+        mask = in_cache | in_chunk  # [S, B]
+
+        logits = (
+            jnp.einsum(
+                "kgsd,kbd->kgsb", q, kb, preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        logits = jnp.where(mask[None, None], logits, NEG_INF)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l_new = l * alpha + p.sum(axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "kgsb,kbd->kgsd", p.astype(vb.dtype), vb,
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((num_kv_heads, group, s), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((num_kv_heads, group, s), jnp.float32)
+    acc0 = jnp.zeros((num_kv_heads, group, s, head_dim), jnp.float32)
+    starts = jnp.arange(num_blocks) * block_size
+    (m, l, acc), _ = jax.lax.scan(
+        body,
+        (m0, l0, acc0),
+        (k_blocks.transpose(1, 0, 2, 3), v_blocks.transpose(1, 0, 2, 3), starts),
+    )
+    out = acc / jnp.maximum(l, 1e-37)[..., None]
+    return out.reshape(num_heads, s, head_dim).astype(query.dtype)
+
+
 def decode_attention(
     query: jax.Array,  # [H, 1, D]
     key_cache: jax.Array,  # [KV, budget, D] (new token already appended)

@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: chunked-prefill flash attention over a static KV budget.
+
+The TPU replacement for the reference's flash-attn CUDA kernels
+(retake/qwen2_vl.py:224-363). One kernel handles the whole ReTaKe chunk-step
+attention pattern:
+
+  queries  : one prefill chunk [H, S, D] (padded tail masked via valid_len)
+  keys     : [static cache budget | chunk] — cached prefix masked by the
+             *runtime* fill level cache_len, chunk part causal
+
+Design points (see /opt/skills/guides/pallas_guide.md):
+  * grid (kv_head, q_block, kv_block) with the kv axis innermost/sequential;
+    online-softmax state (m, l, acc) lives in VMEM scratch across kv steps.
+  * **dead-block skipping**: cache blocks beyond ``cache_len`` and chunk
+    blocks above the causal diagonal are skipped — their index_map points at
+    block 0 (Pallas elides the re-DMA of a repeated block) and ``pl.when``
+    skips the compute, so attention cost tracks the actual cache fill level,
+    not the budget. This is what lets one compiled program serve every fill
+    level at reference-like FLOPs, where the XLA fallback pays for the whole
+    budget every chunk.
+  * GQA: the G query heads of one KV head are flattened into the row axis of
+    a single [G*BQ, BK] MXU matmul.
+  * bf16 matmul inputs, fp32 logits/softmax state (flash-attn numerics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_BQ = 256
+DEFAULT_BK = 512
+
+
+def _kernel(
+    scalar_ref,  # SMEM [2]: cache_len, valid_len
+    q_ref,  # [1, G, BQ, D]
+    k_ref,  # [1, BK, D]
+    v_ref,  # [1, BK, D]
+    o_ref,  # [1, G, BQ, D]
+    acc_ref,  # VMEM [G*BQ, D] f32
+    m_ref,  # VMEM [G*BQ, 128] f32
+    l_ref,  # VMEM [G*BQ, 128] f32
+    *,
+    budget: int,
+    bq: int,
+    bk: int,
+    num_kv_blocks: int,
+    scale: float,
+):
+    j = pl.program_id(1)
+    kb = pl.program_id(2)
+    cache_len = scalar_ref[0]
+    valid_len = scalar_ref[1]
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    block_start = kb * bk
+    q_row_end = j * bq + bq - 1  # last chunk-token row in this q block
+    in_cache_region = block_start < budget
+    cache_live = in_cache_region & (block_start < cache_len)
+    chunk_live = jnp.logical_not(in_cache_region) & (
+        block_start - budget <= q_row_end
+    )
+    live = cache_live | chunk_live
+
+    # interior cache blocks (fully below cache_len) need no masking at all —
+    # skipping the iota/compare/select passes there keeps the VPU off the
+    # critical path; only the cache boundary block and chunk blocks mask.
+    interior = in_cache_region & (block_start + bk <= cache_len)
+
+    def _flash_update(s, g, d):
+        rows = g * bq
+        m_prev = m_ref[:, :1]  # [rows, 1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [rows, BK] f32
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(live)
+    def _compute():
+        g, _, d = q_ref.shape[1:]
+        rows = g * bq
+        q = q_ref[0].reshape(rows, d)
+        k = k_ref[0]  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [rows, BK]
+
+        @pl.when(interior)
+        def _unmasked():
+            _flash_update(s, g, d)
+
+        @pl.when(jnp.logical_not(interior))
+        def _masked():
+            # mask depends only on (token row, col): compute [BQ, BK] once
+            # and broadcast over the G grouped heads
+            col = block_start + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 1
+            )
+            qi = j * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            in_cache = (col < cache_len) & (col < budget)
+            cj = col - budget
+            in_chunk = (col >= budget) & (cj <= qi) & (
+                (cj < valid_len) | (cj == qi)
+            )
+            mask = in_cache | in_chunk  # [BQ, BK]
+            s3 = s.reshape(g, bq, bk)
+            s3 = jnp.where(mask[None], s3, NEG_INF)
+            _flash_update(s3.reshape(rows, bk), g, d)
+
+    @pl.when(kb == num_kv_blocks - 1)
+    def _finish():
+        g, _, d = q_ref.shape[1:]
+        rows = g * bq
+        l = jnp.maximum(l_ref[:, :1], 1e-37)
+        out = (acc_ref[:] / l).reshape(g, bq, d)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k")
+)
+def flash_prefill_attention(
+    query: jax.Array,  # [H, S, D] RoPE'd chunk queries
+    key_cache: jax.Array,  # [KV, budget, D]
+    value_cache: jax.Array,
+    cache_len: jax.Array,  # scalar int32
+    key_new: jax.Array,  # [KV, S, D]
+    value_new: jax.Array,
+    valid_len: jax.Array,  # scalar int32
+    block_q: int = DEFAULT_BQ,
+    block_k: int = DEFAULT_BK,
+) -> jax.Array:
+    """Same contract as ops.attention.chunk_prefill_attention."""
+    num_heads, s, d = query.shape
+    num_kv, budget, _ = key_cache.shape
+    g = num_heads // num_kv
+    assert budget % block_k == 0, (budget, block_k)
+
+    s_pad = -(-s // max(block_q, block_k)) * max(block_q, block_k)
+    q = query.reshape(num_kv, g, s, d)
+    if s_pad != s:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        key_new = jnp.pad(key_new, ((0, 0), (0, s_pad - s), (0, 0)))
+        value_new = jnp.pad(value_new, ((0, 0), (0, s_pad - s), (0, 0)))
+    k_all = jnp.concatenate([key_cache, key_new], axis=1)
+    v_all = jnp.concatenate([value_cache, value_new], axis=1)
+    total = budget + s_pad
+    num_q_blocks = s_pad // block_q
+    num_kv_blocks = total // block_k
+
+    def q_index(i, j, kb, scalars):
+        return (i, 0, j, 0)
+
+    def kv_index(i, j, kb, scalars):
+        cache_len = scalars[0]
+        block_start = kb * block_k
+        in_cache = block_start < budget
+        cache_live = in_cache & (block_start < cache_len)
+        chunk_live = jnp.logical_not(in_cache) & (
+            block_start - budget <= j * block_q + block_q - 1
+        )
+        # dead blocks alias block 0: repeated index -> Pallas skips the DMA
+        return (i, jnp.where(cache_live | chunk_live, kb, 0), 0)
+
+    def o_index(i, j, kb, scalars):
+        return (i, 0, j, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_kv, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, g, block_q, d), q_index),
+            pl.BlockSpec((1, block_k, d), kv_index),
+            pl.BlockSpec((1, block_k, d), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, g, block_q, d), o_index),
+        scratch_shapes=[
+            pltpu.VMEM((g * block_q, d), jnp.float32),
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        budget=budget,
+        bq=block_q,
+        bk=block_k,
+        num_kv_blocks=num_kv_blocks,
+        scale=float(1.0 / (d**0.5)),
+    )
+    scalars = jnp.stack(
+        [cache_len.astype(jnp.int32), valid_len.astype(jnp.int32)]
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_kv, g, s_pad, d), query.dtype),
+        interpret=jax.default_backend() == "cpu",  # CPU tests / dryruns
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s_pad * total * d * num_heads,
+            bytes_accessed=(total * d * 2 * num_kv + s_pad * d * num_heads)
+            * 2,
+            transcendentals=s_pad * total * num_heads,
+        ),
+    )(scalars, q, k_all, v_all)
+    return out.reshape(num_heads, s_pad, d)[:, :s]

@@ -44,16 +44,22 @@ def eviction_scores(
     num_kv_heads = key.shape[0]
     group = num_heads // num_kv_heads
 
-    q = query.astype(jnp.float32)
-    k = key.astype(jnp.float32)
-    # [kv, group, S, S]: logits of every query against every chunk key
-    # full fp32 matmul: this scoring pass is the parity-critical path
-    # (reference computes it in fp32 — longvideo_cache.py:265-267)
+    # [kv, group, S, S]: logits of every query against every chunk key.
+    # Parity: the reference scores with a bf16 QK^T matmul (fp32 accumulation)
+    # then an fp32 softmax (longvideo_cache.py:264-267). bf16 inputs map to
+    # the native MXU bf16 matmul; fp32 inputs (unit tests vs torch oracles)
+    # force a true fp32 matmul so tolerances stay tight.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if query.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     logits = jnp.einsum(
         "kgsd,ktd->kgst",
-        q.reshape(num_kv_heads, group, s, head_dim),
-        k,
-        precision=jax.lax.Precision.HIGHEST,
+        query.reshape(num_kv_heads, group, s, head_dim),
+        key,
+        precision=precision,
+        preferred_element_type=jnp.float32,
     ) / jnp.sqrt(jnp.float32(head_dim))
     logits = jnp.where(valid_mask[None, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)

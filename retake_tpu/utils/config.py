@@ -1,0 +1,138 @@
+"""Experiment configuration: YAML surface compatible with the reference.
+
+Accepts the exact schema of the reference configs (configs/*.yaml — see
+SURVEY.md §5 "Config / flag system"): ``method``, ``scaling_factor``,
+``attn_implementation``, ``longvideo_kwargs{frame_chunk_size,
+chunked_prefill_frames, visual_compression(+kwargs), kvcache_compression
+(+kwargs)}``, plus dataset/data/generate/output keys. Unknown keys are
+preserved in ``extras`` so reference configs load unmodified.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class VisualCompressionConfig:
+    compression_ratio: float = 1.0
+    compression_method: str = "Keyframe"  # Keyframe | MA-LLM | MA-LLM-hard
+    patch_sync: bool = False
+    return_keyframe_mask: bool = True
+
+
+@dataclasses.dataclass
+class KVCompressionConfig:
+    compression_method: str = "pivotkv"
+    compression_ratio: Optional[float] = None  # fixed ratio, or None
+    dynamic_compression_ratio: bool = False
+    max_input_length: Optional[int] = None
+    pos_embed_reforge: bool = False
+    prompt_guided_compression: bool = False
+
+
+@dataclasses.dataclass
+class RetakeConfig:
+    model_name: str = "qwen2_vl"
+    method: str = "retake"
+    scaling_factor: Optional[float] = None  # YaRN factor; None = disabled
+    attn_implementation: str = "flash"  # flash (pallas/online-softmax) | xla
+    frame_chunk_size: Optional[int] = None  # ViT chunking (grid_t units)
+    chunked_prefill_frames: Optional[int] = None  # LLM chunk (raw frames)
+    visual_compression: bool = False
+    visual: VisualCompressionConfig = dataclasses.field(
+        default_factory=VisualCompressionConfig
+    )
+    kvcache_compression: bool = False
+    kv: KVCompressionConfig = dataclasses.field(default_factory=KVCompressionConfig)
+    # data
+    dataset_name: Optional[str] = None
+    anno_file: Optional[str] = None
+    dataloader_num_workers: int = 0
+    sample_fps: float = 4.0
+    max_num_frames: int = 2048
+    longsize_resolution: int = 448
+    # generate
+    do_sample: bool = False
+    max_new_tokens: int = 128
+    output_dir: Optional[str] = None
+    extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "RetakeConfig":
+        d = dict(d)
+        lv = d.pop("longvideo_kwargs", {}) or {}
+        vc_kwargs = lv.get("visual_compression_kwargs", {}) or {}
+        kv_kwargs = lv.get("kvcache_compression_kwargs", {}) or {}
+        known = {
+            "model_name",
+            "method",
+            "scaling_factor",
+            "attn_implementation",
+            "dataset_name",
+            "anno_file",
+            "dataloader_num_workers",
+            "sample_fps",
+            "max_num_frames",
+            "longsize_resolution",
+            "do_sample",
+            "max_new_tokens",
+            "output_dir",
+        }
+        kwargs = {k: v for k, v in d.items() if k in known}
+        extras = {k: v for k, v in d.items() if k not in known}
+        if kwargs.get("attn_implementation") in (
+            "flash_attention_2",
+            "sdpa",
+            "eager",
+        ):
+            # reference GPU attn impls all map to our fused TPU path
+            kwargs["attn_implementation"] = "flash"
+        return RetakeConfig(
+            frame_chunk_size=lv.get("frame_chunk_size"),
+            chunked_prefill_frames=lv.get("chunked_prefill_frames"),
+            visual_compression=bool(lv.get("visual_compression", False)),
+            visual=VisualCompressionConfig(
+                compression_ratio=vc_kwargs.get("compression_ratio", 1.0),
+                compression_method=vc_kwargs.get("compression_method", "Keyframe"),
+                patch_sync=bool(vc_kwargs.get("patch_sync", False)),
+                return_keyframe_mask=bool(
+                    vc_kwargs.get("return_keyframe_mask", True)
+                ),
+            ),
+            kvcache_compression=bool(lv.get("kvcache_compression", False)),
+            kv=KVCompressionConfig(
+                compression_method=kv_kwargs.get("compression_method", "pivotkv"),
+                compression_ratio=kv_kwargs.get("compression_ratio"),
+                dynamic_compression_ratio=bool(
+                    kv_kwargs.get("dynamic_compression_ratio", False)
+                ),
+                max_input_length=kv_kwargs.get("max_input_length"),
+                pos_embed_reforge=bool(kv_kwargs.get("pos_embed_reforge", False)),
+                prompt_guided_compression=bool(
+                    kv_kwargs.get("prompt_guided_compression", False)
+                ),
+            ),
+            extras=extras,
+            **kwargs,
+        )
+
+    @staticmethod
+    def from_yaml(path: str) -> "RetakeConfig":
+        with open(path) as f:
+            return RetakeConfig.from_dict(yaml.safe_load(f))
+
+    def compression_ratio_for(self, input_length: int) -> float:
+        """Resolve the effective KV compression ratio for a request
+        (reference dynamic rule, qwen2_vl.py:550-557)."""
+        if not self.kvcache_compression:
+            return 1.0
+        if self.kv.dynamic_compression_ratio:
+            assert self.kv.max_input_length is not None
+            if input_length <= self.kv.max_input_length:
+                return 1.0
+            return self.kv.max_input_length / input_length
+        return self.kv.compression_ratio if self.kv.compression_ratio else 1.0

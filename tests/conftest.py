@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+import jax  # noqa: E402
+
+# The axon TPU plugin pins jax_platforms="axon,cpu", overriding the env var —
+# force CPU explicitly so tests are hermetic and see the virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
+# fp32 parity tests need true fp32 matmuls (JAX's default downgrades them)
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @pytest.fixture
 def rng():

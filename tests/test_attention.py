@@ -1,0 +1,78 @@
+"""Flash (online-softmax) attention vs the masked einsum reference path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from retake_tpu.ops import attention as attn
+
+
+@pytest.mark.parametrize(
+    "h,kv,s,budget,cache_len,valid",
+    [
+        (4, 2, 16, 64, 20, 16),
+        (4, 2, 16, 64, 0, 9),  # empty cache + padded chunk tail
+        (8, 2, 33, 128, 127, 33),  # nearly full cache, odd chunk length
+    ],
+)
+def test_flash_matches_einsum(rng, h, kv, s, budget, cache_len, valid):
+    d = 16
+    q = jnp.asarray(rng.normal(size=(h, s, d)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    ref = attn.chunk_prefill_attention(
+        q, kc, vc, jnp.int32(cache_len), kn, vn, jnp.int32(valid)
+    )
+    fl = attn.flash_chunk_attention(
+        q, kc, vc, jnp.int32(cache_len), kn, vn, jnp.int32(valid),
+        block_size=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fl)[:, :valid], np.asarray(ref)[:, :valid], atol=2e-5
+    )
+
+
+def test_flash_block_size_invariance(rng):
+    h, kv, s, budget, d = 4, 2, 24, 96, 16
+    q = jnp.asarray(rng.normal(size=(h, s, d)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    outs = [
+        np.asarray(
+            attn.flash_chunk_attention(
+                q, kc, vc, jnp.int32(50), kn, vn, jnp.int32(s), block_size=b
+            )
+        )
+        for b in (16, 64, 1024)
+    ]
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+    np.testing.assert_allclose(outs[0], outs[2], atol=2e-5)
+
+
+def test_pallas_kernel_matches_einsum(rng):
+    """Pallas flash-prefill kernel (interpret mode on CPU) vs einsum path."""
+    from retake_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+
+    h, kv, s, budget, d = 4, 2, 48, 256, 128
+    q = jnp.asarray(rng.normal(size=(h, s, d)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    for cache_len, valid in [(0, 48), (100, 48), (256, 30)]:
+        ref = attn.chunk_prefill_attention(
+            q, kc, vc, jnp.int32(cache_len), kn, vn, jnp.int32(valid)
+        )
+        out = flash_prefill_attention(
+            q, kc, vc, jnp.int32(cache_len), kn, vn, jnp.int32(valid),
+            block_q=16, block_k=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :valid], np.asarray(ref)[:, :valid],
+            atol=3e-5,
+        )

@@ -1,0 +1,183 @@
+"""Data-layer tests: processor parity vs HF, scorers, sampling, config."""
+
+import numpy as np
+import pytest
+
+from retake_tpu.data import processor as proc_lib
+from retake_tpu.data import video as video_lib
+from retake_tpu.data.scorers import (
+    eval_lvbench_results,
+    eval_videomme_results,
+    trim_answer,
+)
+from retake_tpu.utils import positions as pos_lib
+from retake_tpu.utils.config import RetakeConfig
+
+
+def test_smart_resize_matches_hf():
+    transformers = pytest.importorskip("transformers")
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+        smart_resize as hf_smart_resize,
+    )
+
+    for h, w in [(252, 448), (448, 252), (720, 1280), (1080, 1920), (56, 56)]:
+        assert proc_lib.smart_resize(h, w) == hf_smart_resize(h, w)
+
+
+def test_preprocess_video_matches_hf(rng):
+    transformers = pytest.importorskip("transformers")
+    from transformers import Qwen2VLImageProcessor
+
+    frames = [
+        rng.integers(0, 255, size=(112, 196, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    hf_proc = Qwen2VLImageProcessor()
+    hf_out = hf_proc(images=None, videos=[frames], return_tensors="np")
+    pixel, grid = proc_lib.preprocess_video(frames)
+    np.testing.assert_array_equal(
+        np.asarray([grid]), hf_out["video_grid_thw"]
+    )
+    np.testing.assert_allclose(
+        pixel, hf_out["pixel_values_videos"], atol=2e-3
+    )
+
+
+def test_frame_indices_match_reference_formula():
+    # demo.py:16-24: floor, even-count, linspace
+    idx = video_lib.get_frame_indices(
+        total_frames=250, max_num_frames=2048, sample_fps=4, extraction_fps=25
+    )
+    assert len(idx) == 40  # 250/25*4 = 40
+    assert idx[0] == 0 and idx[-1] == 249
+    idx = video_lib.get_frame_indices(1000, 64, 4, 25)
+    assert len(idx) == 64
+    idx = video_lib.get_frame_indices(37, 2048, 4, 25)  # 5.92 -> 5 -> 4 (even)
+    assert len(idx) == 4
+
+
+def test_trim_answer():
+    assert trim_answer("The best answer is B.") == "B"
+    assert trim_answer("  C") == "C"
+    assert trim_answer("I think the answer is (D)") == "D"
+    assert trim_answer("no letter here at all " * 5) == ""
+    assert trim_answer("") == ""
+
+
+def test_videomme_scorer_layout():
+    results = {i: "A" for i in range(6)}
+    metas = {
+        i: dict(
+            answer="A" if i % 2 == 0 else "B",
+            task_type="t1" if i < 3 else "t2",
+            domain="d",
+            duration=["short", "medium", "long"][i % 3],
+        )
+        for i in range(6)
+    }
+    eval_df, infer_df = eval_videomme_results(results, metas)
+    assert list(eval_df.index) == ["short", "medium", "long", "overall"]
+    assert "overall" in eval_df.columns
+    assert infer_df["correct"].sum() == 3
+
+
+def test_lvbench_scorer_multi_type():
+    results = {0: "A", 1: "B"}
+    metas = {
+        0: dict(answer="A", question_type=["reasoning", "summarization"]),
+        1: dict(answer="A", question_type=["reasoning"]),
+    }
+    eval_df, infer_df = eval_lvbench_results(results, metas)
+    assert eval_df["reasoning"].iloc[0] == 50.0
+    assert eval_df["summarization"].iloc[0] == 100.0
+    assert eval_df["overall"].iloc[0] == 50.0
+
+
+def test_config_parses_reference_yaml(tmp_path):
+    # byte-for-byte a reference config (schema parity requirement)
+    y = """
+method: retake
+scaling_factor: 4
+attn_implementation: "flash_attention_2"
+longvideo_kwargs: {
+  'frame_chunk_size': 128,
+  'chunked_prefill_frames': 32,
+  'visual_compression': True,
+  'visual_compression_kwargs': {
+    'compression_ratio': 1.0,
+    'compression_method': 'Keyframe',
+    'patch_sync': False,
+    'return_keyframe_mask': True
+  },
+  'kvcache_compression': True,
+  'kvcache_compression_kwargs': {
+    'dynamic_compression_ratio': True,
+    'compression_method': 'pivotkv',
+    'pos_embed_reforge': True,
+    'max_input_length': 32000
+  },
+}
+sample_fps: 4
+max_num_frames: 2048
+longsize_resolution: 448
+do_sample: false
+"""
+    f = tmp_path / "c.yaml"
+    f.write_text(y)
+    rt = RetakeConfig.from_yaml(str(f))
+    assert rt.scaling_factor == 4
+    assert rt.frame_chunk_size == 128
+    assert rt.chunked_prefill_frames == 32
+    assert rt.visual_compression and rt.visual.compression_method == "Keyframe"
+    assert rt.kvcache_compression and rt.kv.pos_embed_reforge
+    assert rt.kv.max_input_length == 32000
+    assert rt.attn_implementation == "flash"  # GPU impls map to TPU fused path
+    assert rt.compression_ratio_for(64000) == 0.5
+    assert rt.compression_ratio_for(1000) == 1.0
+
+
+def test_get_rope_index_matches_hf(rng):
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+
+    hf_cfg = transformers.Qwen2VLConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_scaling={"type": "mrope", "mrope_section": [4, 2, 2]},
+        vision_config=dict(
+            depth=2, embed_dim=32, hidden_size=64, mlp_ratio=2, num_heads=2,
+            in_channels=3, patch_size=2, spatial_merge_size=2,
+            temporal_patch_size=2,
+        ),
+        vision_start_token_id=3, vision_end_token_id=4,
+        image_token_id=5, video_token_id=6,
+    )
+    model = transformers.Qwen2VLForConditionalGeneration(hf_cfg)
+    t, h, w = 4, 4, 6
+    n_tok = t * h * w // 4
+    ids = np.array(
+        [10, 11, 3] + [6] * n_tok + [4, 12, 13, 14], dtype=np.int64
+    )
+    grid = np.array([[t, h, w]])
+    hf_pos, hf_delta = model.model.get_rope_index(
+        torch.from_numpy(ids)[None], None, torch.from_numpy(grid), None
+    )
+    pos, delta = pos_lib.get_rope_index(
+        ids,
+        spatial_merge_size=2,
+        image_token_id=5,
+        video_token_id=6,
+        vision_start_token_id=3,
+        video_grid_thw=grid,
+    )
+    np.testing.assert_array_equal(pos, hf_pos[:, 0].numpy())
+    assert delta == int(hf_delta[0, 0])
+
+
+def test_segment_modalities():
+    ids = np.array([1, 2, 6, 6, 6, 3, 4, 6, 6, 5])
+    segs = pos_lib.segment_modalities(ids, 6)
+    assert segs == [
+        (0, 2, "text"), (2, 5, "video"), (5, 7, "text"),
+        (7, 9, "video"), (9, 10, "text"),
+    ]
