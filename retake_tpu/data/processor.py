@@ -79,8 +79,22 @@ def preprocess_video(
     factor = patch_size * merge_size
     out_h, out_w = smart_resize(h0, w0, factor, min_pixels, max_pixels)
 
-    proc = np.stack([_resize_bicubic(f, out_h, out_w) for f in frames])
-    proc = proc.astype(np.float32) / 255.0
+    resized = np.stack([_resize_bicubic(f, out_h, out_w) for f in frames])
+    # fast path: single-pass native normalize+patchify (C++; the numpy path
+    # makes several full passes over the frame data, which is very slow on
+    # memory-bound hosts)
+    try:
+        from retake_tpu import native
+
+        flat = native.patchify_qwen(
+            resized, patch_size, temporal_patch_size, merge_size
+        )
+        grid_t = -(-resized.shape[0] // temporal_patch_size)
+        return flat, (grid_t, out_h // patch_size, out_w // patch_size)
+    except Exception:
+        pass
+
+    proc = resized.astype(np.float32) / 255.0
     proc = (proc - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
     proc = proc.transpose(0, 3, 1, 2)  # [T, C, H, W]
 
@@ -170,6 +184,72 @@ class Qwen2VLProcessor:
             "input_ids": np.asarray(input_ids, np.int64),
             "pixel_values_videos": pixel,
             "video_grid_thw": None if grid is None else np.asarray([grid]),
+        }
+
+    def decode(self, token_ids) -> str:
+        return self.tokenizer.decode(
+            [int(t) for t in token_ids], skip_special_tokens=True
+        )
+
+
+class LlavaOnevisionVideoProcessor:
+    """LLaVA-OneVision / LLaVA-Video preprocessing.
+
+    HF LlavaOnevisionVideoProcessor semantics: every frame is resized to a
+    square image_size x image_size (bicubic); normalization to [-1, 1] happens
+    on device (models/llava_onevision/siglip.patchify_frames). The prompt's
+    single video placeholder expands to frames * tokens_per_frame + 1 tokens
+    (+1 = image_newline).
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        *,
+        video_token_id: int = 151647,
+        image_size: int = 384,
+        tokens_per_frame: int = 196,
+    ):
+        self.tokenizer = tokenizer
+        self.video_token_id = video_token_id
+        self.image_size = image_size
+        self.tokens_per_frame = tokens_per_frame
+
+    @staticmethod
+    def from_pretrained(path: str, **kwargs) -> "LlavaOnevisionVideoProcessor":
+        from transformers import AutoTokenizer
+
+        return LlavaOnevisionVideoProcessor(
+            AutoTokenizer.from_pretrained(path), **kwargs
+        )
+
+    def _resize_square(self, frame: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        s = self.image_size
+        if frame.shape[0] == s and frame.shape[1] == s:
+            return frame
+        img = Image.fromarray(frame)
+        return np.asarray(img.resize((s, s), resample=Image.BICUBIC))
+
+    def __call__(self, question: str, frames=None):
+        video_ids: List[int] = []
+        pixels = None
+        if frames is not None:
+            pixels = np.stack([self._resize_square(f) for f in frames])
+            n = len(frames) * self.tokens_per_frame + 1
+            video_ids = [self.video_token_id] * n
+        pre, post = CHAT_TEMPLATE.split("{video}")
+        post = post.format(question=question)
+        input_ids = (
+            list(self.tokenizer.encode(pre))
+            + video_ids
+            + list(self.tokenizer.encode(post))
+        )
+        return {
+            "input_ids": np.asarray(input_ids, np.int64),
+            "pixel_values_videos": pixels,
+            "video_grid_thw": None,
         }
 
     def decode(self, token_ids) -> str:

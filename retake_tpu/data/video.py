@@ -90,15 +90,26 @@ def load_frame_dir(
     files = sorted(os.listdir(video_root))
     total = len(files)
     n = len(get_frame_indices(total, max_num_frames, sample_fps, extraction_fps))
-    indices = set(np.linspace(0, total - 1, n).astype(np.int32).tolist())
+    indices = sorted(
+        set(np.linspace(0, total - 1, n).astype(np.int32).tolist())
+    )
+    paths = [os.path.join(video_root, files[i]) for i in indices]
+
+    # fast path: native multi-threaded JPEG decode + NEAREST resize
+    if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        try:
+            from retake_tpu import native
+
+            return list(native.load_frames(paths, resolution or 0))
+        except Exception:
+            pass
+
     frames = []
-    for i, name in enumerate(files):
-        if i in indices:
-            img = Image.open(os.path.join(video_root, name))
-            frame = np.asarray(img.convert("RGB"))
-            if resolution is not None:
-                frame = resize_longside(frame, resolution)
-            frames.append(frame)
+    for p in paths:
+        frame = np.asarray(Image.open(p).convert("RGB"))
+        if resolution is not None:
+            frame = resize_longside(frame, resolution)
+        frames.append(frame)
     return frames
 
 

@@ -86,7 +86,18 @@ def main():
 
     rt = RetakeConfig.from_yaml(args.config_path)
     engine = _load_engine(args.model_name, args.hf_path, rt)
-    processor = Qwen2VLProcessor.from_pretrained(args.hf_path)
+    name = (args.model_name or rt.model_name).lower().replace("-", "").replace("_", "")
+    if name in ("llavaonevision", "llavavideo"):
+        from retake_tpu.data.processor import LlavaOnevisionVideoProcessor
+
+        processor = LlavaOnevisionVideoProcessor.from_pretrained(
+            args.hf_path,
+            video_token_id=engine.cfg.video_token_id,
+            image_size=engine.cfg.vision.image_size,
+            tokens_per_frame=engine.cfg.tokens_per_frame,
+        )
+    else:
+        processor = Qwen2VLProcessor.from_pretrained(args.hf_path)
 
     dataset = get_dataset(
         rt.dataset_name,

@@ -66,12 +66,21 @@ def _layer(
     compress: bool,
     reforge: bool,
     attn_impl: str,
+    attn_budget,
     carry,
     xs,
 ):
     """One decoder layer over one chunk. Scanned over the layer axis."""
     hidden, pos3, valid_len, keypatch, keep_len, cache_len = carry
     lp, ck, cv, cpos = xs
+    if attn_budget is not None and attn_budget < ck.shape[1]:
+        # static attention window: the engine knows the cache fill level per
+        # chunk ahead of time, so early chunks attend a small prefix slice of
+        # the budget buffer instead of the whole thing (huge FLOP save)
+        ck_attn = jax.lax.slice_in_dim(ck, 0, attn_budget, axis=1)
+        cv_attn = jax.lax.slice_in_dim(cv, 0, attn_budget, axis=1)
+    else:
+        ck_attn, cv_attn = ck, cv
     h_dim, kv_heads = cfg.head_dim, cfg.num_key_value_heads
     n_heads = cfg.num_attention_heads
     s = hidden.shape[0]
@@ -92,27 +101,39 @@ def _layer(
     else:
         pos_layer = pos3
 
-    cos3, sin3 = rope.compute_cos_sin(
-        inv_freq, pos_layer[:, None, :], attention_scaling, hidden.dtype
-    )  # [3, 1, S, D]
-    cos = rope.select_mrope(cos3, cfg.mrope_section)[0]  # [S, D]
-    sin = rope.select_mrope(sin3, cfg.mrope_section)[0]
+    if cfg.mrope_section is None:
+        # 1-D RoPE (LLaVA-OneVision Qwen2 decoder): row 0 is the position
+        cos, sin = rope.compute_cos_sin(
+            inv_freq, pos_layer[0], attention_scaling, hidden.dtype
+        )  # [S, D]
+    else:
+        cos3, sin3 = rope.compute_cos_sin(
+            inv_freq, pos_layer[:, None, :], attention_scaling, hidden.dtype
+        )  # [3, 1, S, D]
+        cos = rope.select_mrope(cos3, cfg.mrope_section)[0]  # [S, D]
+        sin = rope.select_mrope(sin3, cfg.mrope_section)[0]
     q_rot = rope.apply_rope(q, cos, sin)
     k_rot = rope.apply_rope(k, cos, sin)
 
-    if attn_impl == "pallas":
+    if s == 1:
+        # decode: a blockwise online-softmax scan is pure latency for one
+        # query — a single masked matmul over the budget is HBM-bound
+        attn_out = attn_ops.chunk_prefill_attention(
+            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
+        )
+    elif attn_impl == "pallas":
         from retake_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 
         attn_out = flash_prefill_attention(
-            q_rot, ck, cv, cache_len, k_rot, v, valid_len
+            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
         )
     elif attn_impl == "flash":
         attn_out = attn_ops.flash_chunk_attention(
-            q_rot, ck, cv, cache_len, k_rot, v, valid_len
+            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
         )
     else:
         attn_out = attn_ops.chunk_prefill_attention(
-            q_rot, ck, cv, cache_len, k_rot, v, valid_len
+            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
         )
     hidden = hidden + _linear(_unheads(attn_out), lp["o"]["w"])
 
@@ -147,11 +168,17 @@ def _layer(
                 pos_block[0], kept_mask, keep_len, valid_len
             )
             pos_block = pos_block.at[0].set(new_t)
-            cos3c, sin3c = rope.compute_cos_sin(
-                inv_freq, pos_block[:, None, :], attention_scaling, hidden.dtype
-            )
-            cos_c = rope.select_mrope(cos3c, cfg.mrope_section)[0]
-            sin_c = rope.select_mrope(sin3c, cfg.mrope_section)[0]
+            if cfg.mrope_section is None:
+                cos_c, sin_c = rope.compute_cos_sin(
+                    inv_freq, pos_block[0], attention_scaling, hidden.dtype
+                )
+            else:
+                cos3c, sin3c = rope.compute_cos_sin(
+                    inv_freq, pos_block[:, None, :], attention_scaling,
+                    hidden.dtype,
+                )
+                cos_c = rope.select_mrope(cos3c, cfg.mrope_section)[0]
+                sin_c = rope.select_mrope(sin3c, cfg.mrope_section)[0]
             k_block = rope.apply_rope(k_gathered, cos_c, sin_c)
         else:
             k_block = k_rot[:, perm]
@@ -172,15 +199,20 @@ def decoder_chunk(
     compress: bool,
     reforge: bool,
     attn_impl: str = "xla",
+    attn_budget: int | None = None,
 ) -> Tuple[jax.Array, KVCache]:
-    """Run one chunk through all layers; returns (hidden_out, updated cache)."""
+    """Run one chunk through all layers; returns (hidden_out, updated cache).
+
+    ``attn_budget``: static prefix of the cache buffer this chunk may attend
+    to (must be >= the runtime cache_len when the chunk runs); None = full.
+    """
     inv_freq_np, attention_scaling = cfg.rope_params()
     inv_freq = jnp.asarray(inv_freq_np)
 
     def body(carry, xs):
         return _layer(
             cfg, inv_freq, attention_scaling, compress, reforge, attn_impl,
-            carry, xs,
+            attn_budget, carry, xs,
         )
 
     carry0 = (hidden, pos3, valid_len, keypatch, keep_len, cache.length)

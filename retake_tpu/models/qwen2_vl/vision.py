@@ -94,12 +94,10 @@ def _block(vcfg: Qwen2VisionConfig, cos, sin, hidden, bp):
     q = _apply_vision_rope(q, cos, sin)
     k = _apply_vision_rope(k, cos, sin)
 
-    # full bidirectional attention within each temporal slice, batched over t
-    logits = jnp.einsum(
-        "tqhd,tkhd->thqk", q, k, preferred_element_type=jnp.float32
-    ) / np.sqrt(hd)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    attn = jnp.einsum("thqk,tkhd->tqhd", probs, v).reshape(t, hw, d)
+    # full bidirectional attention within each temporal slice, batched over t;
+    # jax.nn.dot_product_attention lets XLA use its fused (flash-style)
+    # attention emitter instead of materializing [t, heads, hw, hw] fp32 probs
+    attn = jax.nn.dot_product_attention(q, k, v).reshape(t, hw, d)
     hidden = hidden + (attn @ bp["proj"]["w"] + bp["proj"]["b"])
 
     x2 = _layer_norm(hidden, bp["ln2"]["scale"], bp["ln2"]["bias"])

@@ -41,6 +41,7 @@ from retake_tpu.utils.config import RetakeConfig
 
 TEXT_BUCKET = 128  # text segments padded to a multiple of this
 BUDGET_BUCKET = 8192  # cache budgets rounded up to a multiple of this
+SCAN_BLOCK = 8  # video chunks fused per compiled scan dispatch
 
 
 @partial(
@@ -63,7 +64,7 @@ def _dpselect_gather(video_embeds, grid_t, hw, tgt, window, sync):
     return kept.reshape(tgt * hw, -1), keymask.reshape(-1)
 
 
-@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len"))
+@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "attn_budget"))
 def _segment_step(
     params,
     cfg: Qwen2VLConfig,
@@ -78,6 +79,7 @@ def _segment_step(
     compress: bool,
     reforge: bool,
     attn_impl: str,
+    attn_budget: int | None = None,
 ):
     d = embeds_full.shape[-1]
     hidden = jax.lax.dynamic_slice(embeds_full, (offset, 0), (chunk_len, d))
@@ -86,10 +88,11 @@ def _segment_step(
     return text.decoder_chunk(
         params, cfg, cache, hidden, pos3, valid_len, keypatch, keep_len,
         compress=compress, reforge=reforge, attn_impl=attn_impl,
+        attn_budget=attn_budget,
     )
 
 
-@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "prompt_len"))
+@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "prompt_len", "attn_budget"))
 def _video_chunk_with_prompt_step(
     params,
     cfg: Qwen2VLConfig,
@@ -106,6 +109,7 @@ def _video_chunk_with_prompt_step(
     compress: bool,
     reforge: bool,
     attn_impl: str,
+    attn_budget: int | None = None,
 ):
     """Prompt-guided chunk: [video (valid prefix) | prompt | leftover pad].
 
@@ -139,6 +143,7 @@ def _video_chunk_with_prompt_step(
     return text.decoder_chunk(
         params, cfg, cache, hidden, pos3, valid_len + prompt_len, kp, keep_len,
         compress=compress, reforge=reforge, attn_impl=attn_impl,
+        attn_budget=attn_budget,
     )
 
 
@@ -153,6 +158,97 @@ def _decode_step(params, cfg: Qwen2VLConfig, cache, token, pos_scalar, reforge, 
     )
     logits = text.final_logits(params, cfg, hidden[0])
     return jnp.argmax(logits), cache
+
+
+@partial(
+    jax.jit,
+    donate_argnames=("cache",),
+    static_argnames=("cfg", "num_steps", "reforge", "attn_impl", "attn_budget"),
+)
+def _decode_loop(
+    params, cfg: Qwen2VLConfig, cache, first_token, pos_base,
+    num_steps: int, reforge: bool, attn_impl: str,
+    attn_budget: int | None = None,
+):
+    """Greedy decode entirely on device: one dispatch for all steps.
+
+    Per-step host round-trips cost ~300 ms each through remote-tunnel TPU
+    backends; a scanned loop makes TPOT HBM-bound instead. Steps after EOS
+    still run (static trip count) but their tokens are masked to EOS and
+    trimmed by the host.
+    """
+
+    def body(carry, i):
+        token, cache, done = carry
+        emb = text.embed(params, token[None])
+        pos3 = jnp.broadcast_to(pos_base + i, (3, 1)).astype(jnp.int32)
+        hidden, cache = text.decoder_chunk(
+            params, cfg, cache, emb, pos3, jnp.int32(1),
+            jnp.zeros(1, bool), jnp.int32(1),
+            compress=False, reforge=reforge, attn_impl=attn_impl,
+            attn_budget=attn_budget,
+        )
+        logits = text.final_logits(params, cfg, hidden[0])
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(cfg.eos_token_id), nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return (nxt, cache, done), nxt
+
+    first_token = first_token.astype(jnp.int32)
+    done0 = first_token == cfg.eos_token_id
+    (_, cache, _), tokens = jax.lax.scan(
+        body, (first_token, cache, done0), jnp.arange(num_steps)
+    )
+    return tokens, cache
+
+
+@partial(
+    jax.jit,
+    donate_argnames=("cache",),
+    static_argnames=("cfg", "chunk_len", "compress", "reforge", "attn_impl", "attn_budget"),
+)
+def _video_segment_scan(
+    params,
+    cfg: Qwen2VLConfig,
+    cache,
+    embeds_full,
+    pos_full,
+    keypatch_full,
+    offsets,  # [num_chunks] int32
+    valids,  # [num_chunks] int32
+    keeps,  # [num_chunks] int32
+    chunk_len: int,
+    compress: bool,
+    reforge: bool,
+    attn_impl: str,
+    attn_budget: int | None = None,
+):
+    """All chunks of one video segment in a single compiled scan.
+
+    One dispatch instead of num_chunks — per-call host/tunnel latency would
+    otherwise dominate at 64 chunks per 2048-frame video. Returns the last
+    chunk's hidden states and the updated cache.
+    """
+    d = embeds_full.shape[-1]
+
+    def body(carry, xs):
+        cache, _ = carry
+        offset, valid, keep = xs
+        hidden = jax.lax.dynamic_slice(embeds_full, (offset, 0), (chunk_len, d))
+        pos3 = jax.lax.dynamic_slice(pos_full, (0, offset), (3, chunk_len))
+        kp = jax.lax.dynamic_slice(keypatch_full, (offset,), (chunk_len,))
+        hidden, cache = text.decoder_chunk(
+            params, cfg, cache, hidden, pos3, valid, kp, keep,
+            compress=compress, reforge=reforge, attn_impl=attn_impl,
+            attn_budget=attn_budget,
+        )
+        return (cache, hidden), None
+
+    hidden0 = jnp.zeros((chunk_len, d), embeds_full.dtype)
+    (cache, hidden), _ = jax.lax.scan(
+        body, (cache, hidden0), (offsets, valids, keeps)
+    )
+    return hidden, cache
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -306,147 +402,218 @@ class Qwen2VLEngine:
                     vi = np.where(ids == cfg.video_token_id)[0]
                     keypatch_tokens[vi[0] : vi[0] + len(keymask_np)] = keymask_np
 
-        s = len(ids)
-        ratio = rt.compression_ratio_for(s)
         chunk_tokens = (
             self.get_chunk_tokens(grid[0]) if grid is not None else None
         )
-        reforge = rt.kv.pos_embed_reforge and rt.kvcache_compression
-        compress_video = rt.kvcache_compression and ratio < 1.0
-        prompt_guided = (
-            rt.kv.prompt_guided_compression and compress_video
+        return prefill_and_decode(
+            self.params, cfg, rt,
+            ids=ids, pos=pos, keypatch_tokens=keypatch_tokens,
+            video_embeds=video_embeds, video_token_id=cfg.video_token_id,
+            chunk_tokens=chunk_tokens, decode_pos_base=decode_pos_base,
+            max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
+            timer=timer, t_start=t0,
         )
 
-        # 3. segments + host-side cache-length plan
-        if chunk_tokens is None:
-            segments = [(0, s, "text")]
+
+def prefill_and_decode(
+    params,
+    cfg: Qwen2VLConfig,  # the *text* config (LLaVA passes cfg.text)
+    rt: RetakeConfig,
+    *,
+    ids: np.ndarray,
+    pos: np.ndarray,  # [3, S] int32 (1-D models broadcast their positions)
+    keypatch_tokens: np.ndarray,
+    video_embeds,
+    video_token_id: int,
+    chunk_tokens: Optional[int],
+    decode_pos_base: int,
+    max_new_tokens: int,
+    attn_impl: str,
+    timer,
+    t_start: float,
+) -> GenerationResult:
+    """Shared chunked-prefill + greedy-decode core (both model families).
+
+    Implements the reference's segment loop + PivotKV orchestration
+    (qwen2_vl.py:670-733, llava_onevision.py:488-551) as a host-side plan of
+    jit-compiled chunk steps over one static cache budget.
+    """
+    import time
+
+    s = len(ids)
+    ratio = rt.compression_ratio_for(s)
+    reforge = rt.kv.pos_embed_reforge and rt.kvcache_compression
+    compress_video = rt.kvcache_compression and ratio < 1.0
+    prompt_guided = (
+        rt.kv.prompt_guided_compression and compress_video
+    )
+
+    # 3. segments + host-side cache-length plan
+    if chunk_tokens is None:
+        segments = [(0, s, "text")]
+    else:
+        segments = pos_lib.segment_modalities(ids, video_token_id)
+    prompt_span = None
+    if prompt_guided:
+        sp, ep, tp = segments[-1]
+        assert tp == "text"
+        prompt_span = (sp, ep)
+
+    def attn_bucket(fill: int) -> int:
+        return max(BUDGET_BUCKET, math.ceil(fill / BUDGET_BUCKET) * BUDGET_BUCKET)
+
+    plan: List[dict] = []
+    cache_len = 0
+    max_extent = 0
+    for (seg_s, seg_e, kind) in segments:
+        if kind == "text":
+            n = seg_e - seg_s
+            padded = max(TEXT_BUCKET, math.ceil(n / TEXT_BUCKET) * TEXT_BUCKET)
+            plan.append(
+                dict(kind="text", offset=seg_s, valid=n, chunk_len=padded,
+                     cache_len=cache_len, bucket=attn_bucket(cache_len + n))
+            )
+            max_extent = max(max_extent, cache_len + padded)
+            cache_len += n
         else:
-            segments = pos_lib.segment_modalities(ids, cfg.video_token_id)
-        prompt_span = None
-        if prompt_guided:
-            sp, ep, tp = segments[-1]
-            assert tp == "text"
-            prompt_span = (sp, ep)
-
-        plan: List[dict] = []
-        cache_len = 0
-        max_extent = 0
-        for (seg_s, seg_e, kind) in segments:
-            if kind == "text":
-                n = seg_e - seg_s
-                padded = max(TEXT_BUCKET, math.ceil(n / TEXT_BUCKET) * TEXT_BUCKET)
+            n = seg_e - seg_s
+            ct = chunk_tokens
+            num_chunks = math.ceil(n / ct)
+            for ci in range(num_chunks):
+                ss = seg_s + ci * ct
+                valid = min(ct, seg_e - ss)
+                p_len = (prompt_span[1] - prompt_span[0]) if prompt_guided else 0
+                q_len = valid + p_len
+                keep = max(1, int(ratio * q_len)) if compress_video else q_len
                 plan.append(
-                    dict(kind="text", offset=seg_s, valid=n, chunk_len=padded,
-                         cache_len=cache_len)
+                    dict(kind="video", offset=ss, valid=valid,
+                         chunk_len=ct, keep=keep, prompt_len=p_len,
+                         cache_len=cache_len,
+                         bucket=attn_bucket(cache_len + keep))
                 )
-                max_extent = max(max_extent, cache_len + padded)
-                cache_len += n
-            else:
-                n = seg_e - seg_s
-                ct = chunk_tokens
-                num_chunks = math.ceil(n / ct)
-                for ci in range(num_chunks):
-                    ss = seg_s + ci * ct
-                    valid = min(ct, seg_e - ss)
-                    p_len = (prompt_span[1] - prompt_span[0]) if prompt_guided else 0
-                    q_len = valid + p_len
-                    keep = max(1, int(ratio * q_len)) if compress_video else q_len
-                    plan.append(
-                        dict(kind="video", offset=ss, valid=valid,
-                             chunk_len=ct, keep=keep, prompt_len=p_len,
-                             cache_len=cache_len)
-                    )
-                    max_extent = max(max_extent, cache_len + ct + p_len)
-                    cache_len += keep
-        final_len = cache_len
-        needed = max(max_extent, final_len + max_new_tokens)
-        budget = math.ceil(needed / BUDGET_BUCKET) * BUDGET_BUCKET
+                max_extent = max(max_extent, cache_len + ct + p_len)
+                cache_len += keep
+    final_len = cache_len
+    needed = max(max_extent, final_len + max_new_tokens)
+    budget = math.ceil(needed / BUDGET_BUCKET) * BUDGET_BUCKET
 
-        # 4. device inputs
-        s_pad = max(seg["offset"] + seg["chunk_len"] for seg in plan)
-        s_pad = max(s_pad, s)
-        ids_dev = np.zeros(s_pad, dtype=np.int32)
-        ids_dev[:s] = ids
-        pos_pad = np.zeros((3, s_pad), dtype=np.int32)
-        pos_pad[:, :s] = pos
-        if s_pad > s:  # continue positions into padding (masked anyway)
-            pos_pad[:, s:] = pos[:, -1:] + np.arange(1, s_pad - s + 1)
-        kp_pad = np.zeros(s_pad, dtype=bool)
-        kp_pad[:s] = keypatch_tokens
+    # 4. device inputs
+    s_pad = max(seg["offset"] + seg["chunk_len"] for seg in plan)
+    s_pad = max(s_pad, s)
+    ids_dev = np.zeros(s_pad, dtype=np.int32)
+    ids_dev[:s] = ids
+    pos_pad = np.zeros((3, s_pad), dtype=np.int32)
+    pos_pad[:, :s] = pos
+    if s_pad > s:  # continue positions into padding (masked anyway)
+        pos_pad[:, s:] = pos[:, -1:] + np.arange(1, s_pad - s + 1)
+    kp_pad = np.zeros(s_pad, dtype=bool)
+    kp_pad[:s] = keypatch_tokens
 
-        vstart = int(np.where(ids == cfg.video_token_id)[0][0]) if (
-            video_embeds is not None
-        ) else 0
-        embeds = _build_embeds(
-            self.params, cfg, jnp.asarray(ids_dev),
-            None if video_embeds is None else video_embeds,
-            jnp.int32(vstart),
-        )
-        pos_dev = jnp.asarray(pos_pad)
-        kp_dev = jnp.asarray(kp_pad)
+    vstart = int(np.where(ids == video_token_id)[0][0]) if (
+        video_embeds is not None
+    ) else 0
+    embeds = _build_embeds(
+        params, cfg, jnp.asarray(ids_dev),
+        None if video_embeds is None else video_embeds,
+        jnp.int32(vstart),
+    )
+    pos_dev = jnp.asarray(pos_pad)
+    kp_dev = jnp.asarray(kp_pad)
 
-        kv = cache_lib.init_cache(
-            cfg.num_hidden_layers, cfg.num_key_value_heads, budget,
-            cfg.head_dim, dtype=embeds.dtype,
-        )
+    kv = cache_lib.init_cache(
+        cfg.num_hidden_layers, cfg.num_key_value_heads, budget,
+        cfg.head_dim, dtype=embeds.dtype,
+    )
 
-        # 5. run the plan
-        hidden = None
-        last_valid = 0
-        with timer.stage("prefill_chunks"):
-          for step in plan:
+    # 5. run the plan; consecutive plain video chunks fuse into one scan
+    hidden = None
+    last_valid = 0
+    i = 0
+    with timer.stage("prefill_chunks"):
+        while i < len(plan):
+            step = plan[i]
             if step["kind"] == "text":
                 hidden, kv = _segment_step(
-                    self.params, cfg, kv, embeds, pos_dev, kp_dev,
+                    params, cfg, kv, embeds, pos_dev, kp_dev,
                     jnp.int32(step["offset"]), jnp.int32(step["valid"]),
                     jnp.int32(step["valid"]), step["chunk_len"],
-                    False, reforge, self.attn_impl,
+                    False, reforge, attn_impl, min(step["bucket"], budget),
                 )
                 last_valid = step["valid"]
+                i += 1
             elif step.get("prompt_len"):
                 hidden, kv = _video_chunk_with_prompt_step(
-                    self.params, cfg, kv, embeds, pos_dev, kp_dev,
+                    params, cfg, kv, embeds, pos_dev, kp_dev,
                     jnp.int32(step["offset"]), jnp.int32(step["valid"]),
                     jnp.int32(step["keep"]), jnp.int32(prompt_span[0]),
                     step["chunk_len"], step["prompt_len"],
-                    compress_video, reforge, self.attn_impl,
+                    compress_video, reforge, attn_impl,
+                    min(step["bucket"], budget),
                 )
                 last_valid = step["valid"] + step["prompt_len"]
+                i += 1
             else:
-                hidden, kv = _segment_step(
-                    self.params, cfg, kv, embeds, pos_dev, kp_dev,
-                    jnp.int32(step["offset"]), jnp.int32(step["valid"]),
-                    jnp.int32(step["keep"]), step["chunk_len"],
-                    compress_video, reforge, self.attn_impl,
-                )
-                last_valid = step["valid"]
+                j = i
+                while (
+                    j < len(plan)
+                    and plan[j]["kind"] == "video"
+                    and not plan[j].get("prompt_len")
+                    and plan[j]["chunk_len"] == step["chunk_len"]
+                ):
+                    j += 1
+                group = plan[i:j]
+                # fixed-size scan blocks => one compiled scan serves every
+                # video length; remainder chunks reuse the single-step jit
+                g = SCAN_BLOCK
+                for b in range(0, len(group) - len(group) % g, g):
+                    blk = group[b : b + g]
+                    hidden, kv = _video_segment_scan(
+                        params, cfg, kv, embeds, pos_dev, kp_dev,
+                        jnp.asarray([x["offset"] for x in blk], jnp.int32),
+                        jnp.asarray([x["valid"] for x in blk], jnp.int32),
+                        jnp.asarray([x["keep"] for x in blk], jnp.int32),
+                        step["chunk_len"], compress_video, reforge, attn_impl,
+                        min(blk[-1]["bucket"], budget),
+                    )
+                    last_valid = blk[-1]["valid"]
+                for x in group[len(group) - len(group) % g :]:
+                    hidden, kv = _segment_step(
+                        params, cfg, kv, embeds, pos_dev, kp_dev,
+                        jnp.int32(x["offset"]), jnp.int32(x["valid"]),
+                        jnp.int32(x["keep"]), x["chunk_len"],
+                        compress_video, reforge, attn_impl,
+                        min(x["bucket"], budget),
+                    )
+                    last_valid = x["valid"]
+                i = j
 
-        with timer.stage("first_token"):
-            token = _final_token(
-                self.params, cfg, hidden, jnp.int32(last_valid - 1)
-            )
-            token_host = int(token)  # prefill ends when first token is ready
-        t_prefill = time.perf_counter() - t0
+    with timer.stage("first_token"):
+        token = _final_token(params, cfg, hidden, jnp.int32(last_valid - 1))
+        token_host = int(token)  # prefill ends when first token is ready
+    t_prefill = time.perf_counter() - t_start
 
-        # 6. greedy decode
-        t0 = time.perf_counter()
-        out_tokens = [token_host]
+    # 6. greedy decode: one scanned device loop, trim at EOS on host
+    t0 = time.perf_counter()
+    out_tokens = [token_host]
+    if max_new_tokens > 1 and token_host != cfg.eos_token_id:
         with timer.stage("decode"):
-            for i in range(max_new_tokens - 1):
-                if out_tokens[-1] == cfg.eos_token_id:
-                    break
-                token, kv = _decode_step(
-                    self.params, cfg, kv, jnp.int32(out_tokens[-1]),
-                    jnp.int32(decode_pos_base + i), reforge, self.attn_impl,
-                )
-                out_tokens.append(int(token))
-        t_decode = time.perf_counter() - t0
+            tokens, kv = _decode_loop(
+                params, cfg, kv, token,
+                jnp.int32(decode_pos_base), max_new_tokens - 1,
+                reforge, attn_impl,
+                min(attn_bucket(final_len + max_new_tokens), budget),
+            )
+            tokens = np.asarray(tokens)
+        eos = np.flatnonzero(tokens == cfg.eos_token_id)
+        end = (eos[0] + 1) if len(eos) else len(tokens)
+        out_tokens.extend(tokens[:end].tolist())
+    t_decode = time.perf_counter() - t0
 
-        timer.report()
-        return GenerationResult(
-            tokens=np.asarray(out_tokens),
-            prefill_seconds=t_prefill,
-            decode_seconds=t_decode,
-            cache_len=final_len,
-            input_len=s,
-        )
+    timer.report()
+    return GenerationResult(
+        tokens=np.asarray(out_tokens),
+        prefill_seconds=t_prefill,
+        decode_seconds=t_decode,
+        cache_len=final_len,
+        input_len=s,
+    )

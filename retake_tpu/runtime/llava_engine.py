@@ -1,0 +1,196 @@
+"""LLaVA-OneVision / LLaVA-Video inference engine.
+
+Counterpart of the reference's patched LlavaOnevision forward
+(retake/llava_onevision.py:306-583): SigLIP tower in frame chunks ->
+DPSelect on *pre-projector* features -> projector -> 2x2 bilinear pooling ->
+image_newline append -> the shared chunked-prefill + PivotKV core
+(runtime/engine.prefill_and_decode) with 1-D RoPE.
+
+Known reference quirk replicated for parity: the DPSelect keypatch mask is
+computed on the un-pooled 27x27 patch grid ([t*729] flags) but scattered onto
+the pooled token stream (t*196+1 tokens) by simple truncation — the
+reference's ``masked_scatter`` does exactly this (llava_onevision.py:485-486).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from retake_tpu.models.llava_onevision import siglip
+from retake_tpu.models.llava_onevision.config import LlavaOnevisionConfig
+from retake_tpu.ops import dpselect
+from retake_tpu.runtime.engine import GenerationResult, prefill_and_decode
+from retake_tpu.utils.config import RetakeConfig
+
+
+@partial(jax.jit, static_argnames=("vcfg",))
+def _siglip_chunk(params, vcfg, frames_u8):
+    patches = siglip.patchify_frames(frames_u8, vcfg)
+    return siglip.siglip_tower(params["vision_tower"], vcfg, patches)
+
+
+@partial(jax.jit, static_argnames=("grid", "pooled"))
+def _project_pool_newline(params, features, grid: int, pooled: int):
+    """[t, 729, 1152] -> flattened LLM video embeds [t*196 + 1, d]."""
+    x = siglip.multi_modal_projector(params["projector"], features)
+    x = siglip.apply_pooling(x, grid, pooled)
+    t, n, d = x.shape
+    flat = x.reshape(t * n, d)
+    return jnp.concatenate([flat, params["image_newline"][None, :].astype(flat.dtype)])
+
+
+@partial(jax.jit, static_argnames=("grid_t", "hw", "tgt", "window", "sync"))
+def _dpselect_gather(features, grid_t, hw, tgt, window, sync):
+    bank = features.reshape(grid_t, hw, -1)
+    keep, keymask = dpselect.dpselect(bank, tgt, window, sync)
+    kept = dpselect.gather_keyframes(bank, keep)
+    if sync:
+        keymask = jnp.broadcast_to(keymask[:, None], (tgt, hw))
+    return kept, keymask.reshape(-1)
+
+
+class LlavaOnevisionEngine:
+    """Single-request long-video engine for the LLaVA-OneVision family."""
+
+    def __init__(self, cfg: LlavaOnevisionConfig, params, retake: RetakeConfig):
+        if retake.scaling_factor:
+            cfg = cfg.with_yarn(retake.scaling_factor)
+        self.cfg = cfg
+        self.params = params
+        self.retake = retake
+        impl = retake.attn_implementation
+        self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "flash"
+
+    def run_vision(self, frames: np.ndarray) -> jax.Array:
+        """frames [T, 384, 384, 3] uint8 -> SigLIP features [T, 729, 1152]
+        in frame chunks (reference llava_onevision.py:424-439)."""
+        t = frames.shape[0]
+        s = self.cfg.vision.image_size
+        assert frames.shape[1:3] == (s, s), (
+            f"frames must be pre-resized to {s}x{s} "
+            f"(got {frames.shape[1:3]}; use data.processor."
+            "LlavaOnevisionVideoProcessor)"
+        )
+        fcs = self.retake.frame_chunk_size or 10**9
+        frames = jnp.asarray(frames)
+        if t <= fcs:
+            return _siglip_chunk(self.params, self.cfg.vision, frames)
+        outs = []
+        for i in range(0, t, fcs):
+            tc = min(fcs, t - i)
+            chunk = frames[i : i + tc]
+            if tc < fcs:
+                chunk = jnp.pad(chunk, ((0, fcs - tc), (0, 0), (0, 0), (0, 0)))
+            outs.append(
+                _siglip_chunk(self.params, self.cfg.vision, chunk)[:tc]
+            )
+        return jnp.concatenate(outs, axis=0)
+
+    def get_chunk_tokens(self, num_frames: int) -> Optional[int]:
+        """Reference get_chunk_size (llava_onevision.py:144-161):
+        min(chunk_frames, T) * ceil(27/2)^2 tokens."""
+        cf = self.retake.chunked_prefill_frames
+        if cf is None:
+            return None
+        return min(cf, num_frames) * self.cfg.tokens_per_frame
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        pixel_values_videos: Optional[np.ndarray] = None,  # [T,384,384,3] u8
+        video_grid_thw=None,  # unused (API symmetry with Qwen2VLEngine)
+        max_new_tokens: Optional[int] = None,
+    ) -> GenerationResult:
+        import time
+
+        from retake_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+        cfg, rt = self.cfg, self.retake
+        max_new_tokens = max_new_tokens or rt.max_new_tokens
+        ids = np.asarray(input_ids, dtype=np.int64).reshape(-1)
+        t_start = time.perf_counter()
+
+        video_embeds = None
+        keypatch_tokens = np.zeros(len(ids), dtype=bool)
+        num_frames = 0
+        if pixel_values_videos is not None:
+            num_frames = int(pixel_values_videos.shape[0])
+            with timer.stage("vision_tower"):
+                features = self.run_vision(pixel_values_videos)
+            t = num_frames
+            hw = cfg.vision.num_patches
+            tgt = t
+            keymask_np = np.zeros(0, bool)
+            if rt.visual_compression:
+                with timer.stage("dpselect"):
+                    vc = rt.visual
+                    tgt = max(1, round(vc.compression_ratio * t))
+                    if vc.compression_method == "Keyframe":
+                        features, keymask = _dpselect_gather(
+                            features, t, hw, tgt, 3, vc.patch_sync
+                        )
+                        keymask_np = (
+                            np.asarray(keymask)
+                            if vc.return_keyframe_mask
+                            else np.zeros(tgt * hw, bool)
+                        )
+                    elif vc.compression_method in ("MA-LLM", "MA-LLM-hard"):
+                        features = dpselect.malm_compress(
+                            features.reshape(t, hw, -1), tgt,
+                            sync=vc.patch_sync,
+                            hard=vc.compression_method == "MA-LLM-hard",
+                        )
+                        keymask_np = np.zeros(tgt * hw, bool)
+                    else:
+                        raise NotImplementedError(vc.compression_method)
+            with timer.stage("projector_pool"):
+                video_embeds = _project_pool_newline(
+                    self.params, features, cfg.grid_side, cfg.pooled_grid
+                )
+            n_video_tokens = tgt * cfg.tokens_per_frame + 1
+            if tgt != t:
+                # drop trailing video placeholder tokens
+                # (reference llava_onevision.py:252-265)
+                vi = np.where(ids == cfg.video_token_id)[0]
+                removed = (t - tgt) * cfg.tokens_per_frame
+                keep_end = int(vi[0]) + n_video_tokens
+                ids = np.concatenate(
+                    [ids[:keep_end], ids[int(vi[-1]) + 1 :]]
+                )
+                keypatch_tokens = np.zeros(len(ids), dtype=bool)
+            vi = np.where(ids == cfg.video_token_id)[0]
+            if len(keymask_np):
+                # parity quirk: truncate the un-pooled [tgt*729] mask to the
+                # pooled token count (reference masked_scatter semantics)
+                kp = keymask_np[:n_video_tokens]
+                keypatch_tokens[vi[0] : vi[0] + len(kp)] = kp
+
+        s = len(ids)
+        pos = np.broadcast_to(np.arange(s, dtype=np.int32), (3, s)).copy()
+        chunk_tokens = (
+            self.get_chunk_tokens(num_frames) if num_frames else None
+        )
+        return prefill_and_decode(
+            self.params, cfg.text, rt,
+            ids=ids, pos=pos, keypatch_tokens=keypatch_tokens,
+            video_embeds=video_embeds, video_token_id=cfg.video_token_id,
+            chunk_tokens=chunk_tokens, decode_pos_base=s,
+            max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
+            timer=timer, t_start=t_start,
+        )
+
+
+def load_llava_engine(hf_path: str, rt: RetakeConfig) -> LlavaOnevisionEngine:
+    from retake_tpu.models.llava_onevision import params as params_lib
+
+    cfg = LlavaOnevisionConfig.from_pretrained(hf_path)
+    params = params_lib.load_safetensors(hf_path, cfg)
+    return LlavaOnevisionEngine(cfg, params, rt)

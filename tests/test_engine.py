@@ -190,3 +190,39 @@ def test_yarn_scaling_changes_rope_only(tiny, rng):
     r1 = e1.generate(ids, patches, grid, max_new_tokens=3)
     r2 = e2.generate(ids, patches, grid, max_new_tokens=3)
     assert r1.tokens.shape == r2.tokens.shape
+
+
+def test_prompt_guided_compression(tiny, rng):
+    """prompt_guided_compression appends the question to every video chunk
+    (reference forge_input_chunks, qwen2_vl.py:493-519)."""
+    hf_model, cfg, params = tiny
+    ids, patches, grid = make_video_request(cfg, rng, grid_t=8, prompt_len=4)
+    rt = RetakeConfig.from_dict(
+        {
+            "longvideo_kwargs": {
+                "chunked_prefill_frames": 2,
+                "frame_chunk_size": 4,
+                "kvcache_compression": True,
+                "kvcache_compression_kwargs": {
+                    "dynamic_compression_ratio": True,
+                    "compression_method": "pivotkv",
+                    "pos_embed_reforge": True,
+                    "prompt_guided_compression": True,
+                    "max_input_length": 24,
+                },
+            }
+        }
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    r1 = engine.generate(ids, patches, grid, max_new_tokens=4)
+    r2 = engine.generate(ids, patches, grid, max_new_tokens=4)
+    np.testing.assert_array_equal(r1.tokens, r2.tokens)
+    # reference semantics: every video chunk is scored *with the prompt
+    # appended* and keeps int(ratio * (chunk+prompt)) tokens — the prompt's
+    # K/V are partially re-retained per chunk, plus the final text segment.
+    s = r1.input_len
+    ratio = 24 / s
+    pre, video, post = 4, 32, 5
+    keep_per_chunk = int(ratio * (4 + post))
+    expected = pre + 8 * keep_per_chunk + post
+    assert r1.cache_len == expected, (r1.cache_len, expected)

@@ -1,0 +1,146 @@
+"""LLaVA-OneVision engine golden tests vs HF torch on a tiny model."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from retake_tpu.models.llava_onevision import params as params_lib
+from retake_tpu.models.llava_onevision.config import (
+    LlavaOnevisionConfig,
+    SiglipVisionConfig,
+)
+from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+from retake_tpu.runtime.llava_engine import LlavaOnevisionEngine
+from retake_tpu.utils.config import RetakeConfig
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    text_cfg = dict(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=4096, rope_theta=10000.0,
+        tie_word_embeddings=False, bos_token_id=0, eos_token_id=1,
+        model_type="qwen2",
+    )
+    vision_cfg = dict(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=16, patch_size=4,
+        model_type="siglip_vision_model", vision_use_head=False,
+    )
+    hf_cfg = transformers.LlavaOnevisionConfig(
+        text_config=text_cfg,
+        vision_config=vision_cfg,
+        image_token_index=5,
+        video_token_index=6,
+        vision_feature_select_strategy="full",
+        vision_feature_layer=-1,
+    )
+    torch.manual_seed(3)
+    hf_model = (
+        transformers.LlavaOnevisionForConditionalGeneration(hf_cfg)
+        .eval()
+        .float()
+    )
+    cfg = LlavaOnevisionConfig(
+        text=Qwen2VLConfig(
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=4096, rope_theta=10000.0,
+            tie_word_embeddings=False, bos_token_id=0, eos_token_id=1,
+            mrope_section=None,
+        ),
+        vision=SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=16, patch_size=4,
+        ),
+        image_token_id=5,
+        video_token_id=6,
+    )
+    params = params_lib.from_torch_model(cfg, hf_model, dtype=jnp.float32)
+    return hf_model, cfg, params
+
+
+def make_request(cfg, rng, frames=3):
+    n_tok = frames * cfg.tokens_per_frame + 1  # +1 image_newline
+    pre = rng.integers(10, 500, size=4).tolist()
+    post = rng.integers(10, 500, size=6).tolist()
+    ids = np.array(pre + [cfg.video_token_id] * n_tok + post, dtype=np.int64)
+    vid = rng.integers(
+        0, 255, size=(frames, cfg.vision.image_size, cfg.vision.image_size, 3),
+        dtype=np.uint8,
+    )
+    return ids, vid
+
+
+def hf_generate(hf_model, cfg, ids, vid, max_new):
+    # HF expects [B, T, C, H, W] float pixel values (already normalized)
+    px = (vid.astype(np.float32) / 255.0 - 0.5) / 0.5
+    px = torch.from_numpy(px).permute(0, 3, 1, 2)[None]
+    with torch.no_grad():
+        out = hf_model.generate(
+            input_ids=torch.from_numpy(ids)[None],
+            pixel_values_videos=px,
+            do_sample=False, max_new_tokens=max_new,
+        )
+    return out[0, len(ids):].numpy()
+
+
+def test_llava_generate_matches_hf_unchunked(tiny, rng):
+    hf_model, cfg, params = tiny
+    ids, vid = make_request(cfg, rng)
+    expected = hf_generate(hf_model, cfg, ids, vid, 6)
+    engine = LlavaOnevisionEngine(cfg, params, RetakeConfig())
+    got = engine.generate(ids, vid, max_new_tokens=6)
+    np.testing.assert_array_equal(got.tokens, expected)
+
+
+def test_llava_generate_matches_hf_chunked(tiny, rng):
+    hf_model, cfg, params = tiny
+    ids, vid = make_request(cfg, rng, frames=6)
+    expected = hf_generate(hf_model, cfg, ids, vid, 6)
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2, "frame_chunk_size": 4}}
+    )
+    engine = LlavaOnevisionEngine(cfg, params, rt)
+    got = engine.generate(ids, vid, max_new_tokens=6)
+    np.testing.assert_array_equal(got.tokens, expected)
+
+
+def test_llava_retake_path_runs(tiny, rng):
+    """Full retake config: DPSelect pre-projector + PivotKV 1-D reforge."""
+    hf_model, cfg, params = tiny
+    ids, vid = make_request(cfg, rng, frames=8)
+    rt = RetakeConfig.from_dict(
+        {
+            "longvideo_kwargs": {
+                "chunked_prefill_frames": 2,
+                "frame_chunk_size": 4,
+                "visual_compression": True,
+                "visual_compression_kwargs": {
+                    "compression_ratio": 0.5,
+                    "compression_method": "Keyframe",
+                    "patch_sync": False,
+                    "return_keyframe_mask": True,
+                },
+                "kvcache_compression": True,
+                "kvcache_compression_kwargs": {
+                    "dynamic_compression_ratio": True,
+                    "compression_method": "pivotkv",
+                    "pos_embed_reforge": True,
+                    "max_input_length": 16,
+                },
+            }
+        }
+    )
+    engine = LlavaOnevisionEngine(cfg, params, rt)
+    r1 = engine.generate(ids, vid, max_new_tokens=4)
+    r2 = engine.generate(ids, vid, max_new_tokens=4)
+    np.testing.assert_array_equal(r1.tokens, r2.tokens)
+    # visual compression halved the frames; KV compression capped the cache
+    assert r1.input_len < len(ids)
+    assert r1.cache_len < r1.input_len
