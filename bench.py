@@ -126,6 +126,46 @@ def time_prefill(engine, ids, patches, grid, runs=2):
     return min(times[1:]) if len(times) > 1 else times[0]
 
 
+def bench_7b_int8():
+    """Flagship: Qwen2-VL-7B geometry, int8 weights, 2048 frames, one chip.
+
+    The naive full-cache baseline cannot run here at all — 7B params alone
+    exceed 16 GB in bf16 and its 147k-token cache adds 8.6 GB — which is the
+    memory claim ReTaKe makes (README.md:3 '8x longer ... same memory
+    budget'). Returns (ttft_seconds, decode_ms_per_token) or None on OOM.
+    """
+    import gc
+
+    import jax
+
+    try:
+        from retake_tpu.models.qwen2_vl import params as params_lib
+        from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+        from retake_tpu.runtime.engine import Qwen2VLEngine
+        from retake_tpu.utils.config import RetakeConfig
+
+        cfg = Qwen2VLConfig()  # 7B defaults
+        params = params_lib.init_params(cfg, seed=0, quantize_int8=True)
+        ids, patches, grid = build_request(cfg)
+        retake_7b = json.loads(json.dumps(RETAKE_CONFIG))
+        # smaller ViT chunks: at 7B the parameter-resident HBM leaves less
+        # headroom for vision activations
+        retake_7b["longvideo_kwargs"]["frame_chunk_size"] = 64
+        engine = Qwen2VLEngine(
+            cfg, params, RetakeConfig.from_dict(retake_7b)
+        )
+        t = time_prefill(engine, ids, patches, grid)
+        r = engine.generate(ids, patches, grid, max_new_tokens=33)
+        tpot = r.decode_seconds / max(len(r.tokens) - 1, 1) * 1000
+        del engine, params
+        gc.collect()
+        return t, tpot
+    except Exception as e:  # noqa: BLE001 — report partial results
+        print(f"# 7b-int8 flagship skipped: {type(e).__name__}: {e}",
+              flush=True)
+        return None
+
+
 def main():
     from retake_tpu.runtime.engine import Qwen2VLEngine
     from retake_tpu.utils.config import RetakeConfig
@@ -139,9 +179,25 @@ def main():
 
     base_engine = Qwen2VLEngine(cfg, params, RetakeConfig.from_dict(BASELINE_CONFIG))
     t_base = time_prefill(base_engine, ids, patches, grid)
+    del base_engine, params
+
+    seven_b = bench_7b_int8()
 
     fps_retake = NUM_FRAMES / t_retake
     fps_base = NUM_FRAMES / t_base
+    detail = {
+        "ttft_retake_s": round(t_retake, 3),
+        "ttft_naive_full_cache_s": round(t_base, 3),
+        "model": "qwen2-vl-2b-geometry(random bf16)",
+        "frames": NUM_FRAMES,
+    }
+    if seven_b is not None:
+        detail["ttft_7b_int8_s"] = round(seven_b[0], 3)
+        detail["tpot_7b_int8_ms"] = round(seven_b[1], 2)
+        detail["note_7b"] = (
+            "7B @2048 frames on ONE 16GB v5e via int8 weights; the naive "
+            "full-cache baseline cannot run at this scale at all"
+        )
     print(
         json.dumps(
             {
@@ -149,12 +205,7 @@ def main():
                 "value": round(fps_retake, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps_retake / fps_base, 3),
-                "detail": {
-                    "ttft_retake_s": round(t_retake, 3),
-                    "ttft_naive_full_cache_s": round(t_base, 3),
-                    "model": "qwen2-vl-2b-geometry(random bf16)",
-                    "frames": NUM_FRAMES,
-                },
+                "detail": detail,
             }
         )
     )

@@ -67,9 +67,13 @@ def _load_engine(model_name, hf_path, rt):
     if name == "qwen2vl":
         cfg = Qwen2VLConfig.from_pretrained(hf_path)
         params = params_lib.load_safetensors(hf_path, cfg)
+        if rt.quantization == "int8":
+            from retake_tpu.ops.quantization import quantize_llm_int8
+
+            params = quantize_llm_int8(params)
         return Qwen2VLEngine(cfg, params, rt)
     if name in ("llavaonevision", "llavavideo"):
-        from retake_tpu.models.llava_onevision.model import load_llava_engine
+        from retake_tpu.runtime.llava_engine import load_llava_engine
 
         return load_llava_engine(hf_path, rt)
     raise NotImplementedError(name)
@@ -110,12 +114,22 @@ def main():
         ),
     )
 
+    run_eval(engine, processor, dataset, rt, rank, world, resume=args.resume)
+    _barrier(args)
+    if rank == 0:
+        merge_and_score(rt, world)
+
+
+def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
+    """Round-robin shard loop with per-sample journaling (resumable)."""
+    from retake_tpu.data.scorers import trim_answer
+
     out_dir = rt.output_dir or "results/eval"
     os.makedirs(out_dir, exist_ok=True)
     shard_file = os.path.join(out_dir, f"shard_{rank:03d}.jsonl")
 
     done: Dict[int, str] = {}
-    if args.resume and os.path.exists(shard_file):
+    if resume and os.path.exists(shard_file):
         with open(shard_file) as f:
             for line in f:
                 rec = json.loads(line)
@@ -123,14 +137,12 @@ def main():
         print(f"[rank {rank}] resuming: {len(done)} samples already done")
 
     indices = [i for i in range(len(dataset)) if i % world == rank]
-    metas = {}
     t_start = time.time()
     with open(shard_file, "a") as journal:
         for n, idx in enumerate(indices):
-            i, message, meta = dataset[idx]
-            metas[i] = meta
-            if i in done:
+            if idx in done:
                 continue
+            i, message, meta = dataset[idx]
             inputs = processor(message["question"], message["video"])
             result = engine.generate(
                 inputs["input_ids"],
@@ -139,31 +151,50 @@ def main():
                 max_new_tokens=rt.max_new_tokens,
             )
             answer = trim_answer(processor.decode(result.tokens))
-            journal.write(json.dumps({"idx": i, "answer": answer,
-                                      "meta": _json_safe(meta)}) + "\n")
+            meta = dict(meta)
+            meta["question"] = meta.get("question", message["question"])
+            journal.write(json.dumps({
+                "idx": i,
+                "answer": answer,
+                "meta": _json_safe(meta),
+                # structured per-sample metrics (observability the reference
+                # lacks — SURVEY.md §5)
+                "metrics": {
+                    "prefill_s": round(result.prefill_seconds, 3),
+                    "decode_s": round(result.decode_seconds, 3),
+                    "input_tokens": int(result.input_len),
+                    "cache_tokens": int(result.cache_len),
+                    "new_tokens": int(len(result.tokens)),
+                },
+            }) + "\n")
             journal.flush()
             done[i] = answer
             if n % 10 == 0:
                 rate = (n + 1) / (time.time() - t_start)
                 print(f"[rank {rank}] {n + 1}/{len(indices)} ({rate:.2f}/s)")
+    return done
 
-    _barrier(args)
 
-    if rank == 0:
-        anno_id2result, anno_id2meta = {}, {}
-        for r in range(world):
-            with open(os.path.join(out_dir, f"shard_{r:03d}.jsonl")) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    anno_id2result[rec["idx"]] = rec["answer"]
-                    anno_id2meta[rec["idx"]] = rec["meta"]
-        eval_func = get_eval_methods(rt.dataset_name)
-        eval_df, infer_df = eval_func(anno_id2result, anno_id2meta)
-        with open(os.path.join(out_dir, "anno_id2result.json"), "w") as f:
-            json.dump({str(k): v for k, v in anno_id2result.items()}, f)
-        infer_df.to_csv(os.path.join(out_dir, "infer_results.csv"), index=False)
-        eval_df.to_csv(os.path.join(out_dir, "eval_results.csv"), index=True)
-        print(eval_df.head())
+def merge_and_score(rt, world):
+    """Merge per-rank shards, score, dump reference-compatible artifacts."""
+    from retake_tpu.data.scorers import get_eval_methods
+
+    out_dir = rt.output_dir or "results/eval"
+    anno_id2result, anno_id2meta = {}, {}
+    for r in range(world):
+        with open(os.path.join(out_dir, f"shard_{r:03d}.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                anno_id2result[rec["idx"]] = rec["answer"]
+                anno_id2meta[rec["idx"]] = rec["meta"]
+    eval_func = get_eval_methods(rt.dataset_name)
+    eval_df, infer_df = eval_func(anno_id2result, anno_id2meta)
+    with open(os.path.join(out_dir, "anno_id2result.json"), "w") as f:
+        json.dump({str(k): v for k, v in anno_id2result.items()}, f)
+    infer_df.to_csv(os.path.join(out_dir, "infer_results.csv"), index=False)
+    eval_df.to_csv(os.path.join(out_dir, "eval_results.csv"), index=True)
+    print(eval_df.head())
+    return eval_df, infer_df
 
 
 def _json_safe(obj):

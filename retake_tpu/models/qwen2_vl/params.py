@@ -27,24 +27,32 @@ import jax.numpy as jnp
 from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
 
 
-def init_params(cfg: Qwen2VLConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+def init_params(
+    cfg: Qwen2VLConfig, seed: int = 0, dtype=jnp.bfloat16, quantize_int8=False
+) -> dict:
     """Random parameters (tests / benchmarks with reference geometry).
 
     Generated on-device via jax.random inside a single jit — numpy generation
     of the ~8.5B values of 7B geometry would take minutes on one host core,
     and per-leaf eager ops each pay a dispatch round-trip on remote-tunnel
-    TPU backends.
+    TPU backends. With ``quantize_int8`` the LLM linears/embedding quantize
+    inside the same jit, so the full bf16 set (16.6 GB at 7B) never
+    materializes — required to even *init* 7B on one 16 GB chip.
     """
     import jax
 
     @jax.jit
     def _build():
-        return _init_params_traced(cfg, seed, dtype)
+        # direct int8 generation: quantizing a materialized bf16 7B tree
+        # would need ~17 GB transients and OOM a 16 GB chip
+        return _init_params_traced(cfg, seed, dtype, quantize_int8)
 
     return _build()
 
 
-def _init_params_traced(cfg: Qwen2VLConfig, seed: int, dtype) -> dict:
+def _init_params_traced(
+    cfg: Qwen2VLConfig, seed: int, dtype, quantize_int8: bool = False
+) -> dict:
     import jax
 
     key_stream = [jax.random.key(seed)]
@@ -58,6 +66,19 @@ def _init_params_traced(cfg: Qwen2VLConfig, seed: int, dtype) -> dict:
         key_stream[0], sub = jax.random.split(key_stream[0])
         return jax.random.normal(sub, shape, dtype) * jnp.asarray(scale, dtype)
 
+    def qw(*shape, scale=None):
+        """Quantized-linear leaf {w int8, scale}: random int8 (std ~73) with a
+        per-channel scale matching the bf16 init's magnitude."""
+        if not quantize_int8:
+            return {"w": w(*shape, scale=scale)}
+        sigma = scale if scale is not None else 1.0 / np.sqrt(shape[-2])
+        key_stream[0], sub = jax.random.split(key_stream[0])
+        q = jax.random.randint(sub, shape, -127, 128, jnp.int8)
+        return {
+            "w": q,
+            "scale": jnp.full(shape[:-2] + shape[-1:], sigma / 73.0, jnp.float32),
+        }
+
     def zeros(*shape):
         return jnp.zeros(shape, dtype)
 
@@ -66,14 +87,14 @@ def _init_params_traced(cfg: Qwen2VLConfig, seed: int, dtype) -> dict:
 
     layers = {
         "input_ln": ones(l, d),
-        "q": {"w": w(l, d, h * hd), "b": zeros(l, h * hd)},
-        "k": {"w": w(l, d, kv * hd), "b": zeros(l, kv * hd)},
-        "v": {"w": w(l, d, kv * hd), "b": zeros(l, kv * hd)},
-        "o": {"w": w(l, h * hd, d)},
+        "q": {**qw(l, d, h * hd), "b": zeros(l, h * hd)},
+        "k": {**qw(l, d, kv * hd), "b": zeros(l, kv * hd)},
+        "v": {**qw(l, d, kv * hd), "b": zeros(l, kv * hd)},
+        "o": qw(l, h * hd, d),
         "post_ln": ones(l, d),
-        "gate": {"w": w(l, d, m)},
-        "up": {"w": w(l, d, m)},
-        "down": {"w": w(l, m, d)},
+        "gate": qw(l, d, m),
+        "up": qw(l, d, m),
+        "down": qw(l, m, d),
     }
     v = cfg.vision
     vd, vl, vm = v.embed_dim, v.depth, v.embed_dim * v.mlp_ratio
@@ -94,14 +115,29 @@ def _init_params_traced(cfg: Qwen2VLConfig, seed: int, dtype) -> dict:
             "fc2": {"w": w(merged, v.hidden_size), "b": zeros(v.hidden_size)},
         },
     }
+    if quantize_int8:
+        import jax as _jax
+
+        key_stream[0], sub = _jax.random.split(key_stream[0])
+        embed_tokens = {
+            "w": _jax.random.randint(
+                sub, (cfg.vocab_size, d), -127, 128, jnp.int8
+            ),
+            "scale": jnp.full((cfg.vocab_size,), 0.02 / 73.0, jnp.float32),
+        }
+    else:
+        embed_tokens = w(cfg.vocab_size, d, scale=0.02)
     params = {
-        "embed_tokens": w(cfg.vocab_size, d, scale=0.02),
+        "embed_tokens": embed_tokens,
         "layers": layers,
         "final_ln": ones(d),
         "visual": visual,
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = w(d, cfg.vocab_size)
+        # raw array when unquantized (matches from_hf_tensors layout)
+        params["lm_head"] = (
+            qw(d, cfg.vocab_size) if quantize_int8 else w(d, cfg.vocab_size)
+        )
     return params
 
 

@@ -42,8 +42,16 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return weight * normed
 
 
-def _linear(x, w, b=None):
-    y = x @ w
+def _linear(x, p, bias_key="b"):
+    """Linear over a weight dict; dispatches on int8 quantization
+    (ops/quantization.py): y = (x @ w_q) * scale, exact since the per-output
+    -channel scale commutes with the contraction."""
+    w = p["w"]
+    if "scale" in p:
+        y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ w
+    b = p.get(bias_key)
     return y if b is None else y + b
 
 
@@ -86,9 +94,9 @@ def _layer(
     s = hidden.shape[0]
 
     x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
-    q = _heads(_linear(x, lp["q"]["w"], lp["q"]["b"]), n_heads, h_dim)
-    k = _heads(_linear(x, lp["k"]["w"], lp["k"]["b"]), kv_heads, h_dim)
-    v = _heads(_linear(x, lp["v"]["w"], lp["v"]["b"]), kv_heads, h_dim)
+    q = _heads(_linear(x, lp["q"]), n_heads, h_dim)
+    k = _heads(_linear(x, lp["k"]), kv_heads, h_dim)
+    v = _heads(_linear(x, lp["v"]), kv_heads, h_dim)
 
     # Per-layer temporal rebase (reference discontinuity fix, qwen2_vl.py:67-73):
     # continue this layer's cached temporal ids contiguously.
@@ -135,11 +143,11 @@ def _layer(
         attn_out = attn_ops.chunk_prefill_attention(
             q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
         )
-    hidden = hidden + _linear(_unheads(attn_out), lp["o"]["w"])
+    hidden = hidden + _linear(_unheads(attn_out), lp["o"])
 
     x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(_linear(x2, lp["gate"]["w"]))
-    mlp = _linear(gate * _linear(x2, lp["up"]["w"]), lp["down"]["w"])
+    gate = jax.nn.silu(_linear(x2, lp["gate"]))
+    mlp = _linear(gate * _linear(x2, lp["up"]), lp["down"])
     hidden = hidden + mlp
 
     # --- cache block for this layer
@@ -228,10 +236,27 @@ def final_logits(params: dict, cfg: Qwen2VLConfig, hidden_last: jax.Array):
     """Final RMSNorm + LM head on a single token's hidden state [d] -> [V]."""
     h = rms_norm(hidden_last[None, :], params["final_ln"], cfg.rms_norm_eps)[0]
     head = params.get("lm_head")
-    if head is None:  # tied embeddings (Qwen2-VL-2B)
-        head = params["embed_tokens"].T
-    return (h @ head).astype(jnp.float32)
+    if head is not None:
+        if isinstance(head, dict):
+            logits = (h @ head["w"].astype(h.dtype)) * head["scale"].astype(
+                h.dtype
+            )
+        else:
+            logits = h @ head
+    else:  # tied embeddings (Qwen2-VL-2B)
+        e = params["embed_tokens"]
+        if isinstance(e, dict):
+            # per-row embed scale becomes a per-logit scale after transpose
+            logits = (h @ e["w"].T.astype(h.dtype)) * e["scale"].astype(h.dtype)
+        else:
+            logits = h @ e.T
+    return logits.astype(jnp.float32)
 
 
 def embed(params: dict, token_ids: jax.Array) -> jax.Array:
-    return params["embed_tokens"][token_ids]
+    e = params["embed_tokens"]
+    if isinstance(e, dict):
+        dtype = params["final_ln"].dtype  # activation dtype of the model
+        rows = e["w"][token_ids].astype(dtype)
+        return rows * e["scale"][token_ids][:, None].astype(dtype)
+    return e[token_ids]

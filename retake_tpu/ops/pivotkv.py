@@ -85,13 +85,15 @@ def keep_partition(
     kept token`` (i.e. simply ``arange(S) < keep_len``).
     """
     s = scores.shape[0]
+    idx = jnp.arange(s, dtype=jnp.int32)
     order = jnp.argsort(-scores, stable=True)  # rank -> index, ties: low index
-    rank = jnp.argsort(order, stable=True)  # index -> rank
+    # index -> rank via scatter (cheaper than a second sort)
+    rank = jnp.zeros(s, jnp.int32).at[order].set(idx, unique_indices=True)
     kept = rank < keep_len  # [S] per original index
     # kept tokens first (by original index), then evicted (by original index)
-    sort_key = jnp.where(kept, jnp.arange(s), jnp.arange(s) + s)
+    sort_key = jnp.where(kept, idx, idx + s)
     perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
-    kept_mask = jnp.arange(s) < keep_len
+    kept_mask = idx < keep_len
     return perm, kept_mask
 
 

@@ -37,55 +37,42 @@ def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     return Mesh(dev, ("dp", "tp"))
 
 
-def param_shardings(mesh: Mesh) -> dict:
-    """NamedShardings for the Qwen2-VL parameter pytree (TP over heads/cols).
+# column-parallel linears (output dim sharded); row-parallel (input sharded)
+_COL_PARALLEL = ("q", "k", "v", "gate", "up")
+_ROW_PARALLEL = ("o", "down")
 
-    Layout mirrors models/qwen2_vl/params.py. Embedding and norms replicate;
-    attention/MLP shard on the tp axis. The vision tower replicates (it is
-    small and frame-batched; shard later if it becomes the limiter).
-    """
 
-    def s(*spec):
-        return NamedSharding(mesh, P(*spec))
+def _spec_for_path(path, leaf) -> P:
+    """TP sharding rule from the tree path — works for both bf16 and int8
+    ({'w','scale'}) parameter layouts (models/*/params.py, ops/quantization)."""
+    names = [p.key for p in path if hasattr(p, "key")]
+    if "layers" in names and len(names) >= 2:
+        parent, leaf_name = names[-2], names[-1]
+        if parent in _COL_PARALLEL:
+            if leaf_name == "w":
+                return P(None, None, "tp")
+            if leaf_name in ("b", "scale"):
+                return P(None, "tp")
+        if parent in _ROW_PARALLEL:
+            if leaf_name == "w":
+                return P(None, "tp", None)
+            return P()  # row-parallel outputs replicate bias/scale
+    if names and names[0] == "lm_head":
+        if names[-1] == "scale":
+            return P("tp")
+        return P(None, "tp")
+    if names == ["lm_head"]:
+        return P(None, "tp")
+    return P()  # embeddings, norms, vision tower: replicated
 
-    rep = s()
-    layers = {
-        "input_ln": s(None, None),
-        "q": {"w": s(None, None, "tp"), "b": s(None, "tp")},
-        "k": {"w": s(None, None, "tp"), "b": s(None, "tp")},
-        "v": {"w": s(None, None, "tp"), "b": s(None, "tp")},
-        "o": {"w": s(None, "tp", None)},
-        "post_ln": s(None, None),
-        "gate": {"w": s(None, None, "tp")},
-        "up": {"w": s(None, None, "tp")},
-        "down": {"w": s(None, "tp", None)},
-    }
-    visual_rep = jax.tree.map(
-        lambda _: rep,
-        {
-            "patch_embed": {"w": 0},
-            "blocks": {
-                "ln1": {"scale": 0, "bias": 0},
-                "qkv": {"w": 0, "b": 0},
-                "proj": {"w": 0, "b": 0},
-                "ln2": {"scale": 0, "bias": 0},
-                "fc1": {"w": 0, "b": 0},
-                "fc2": {"w": 0, "b": 0},
-            },
-            "merger": {
-                "ln_q": {"scale": 0, "bias": 0},
-                "fc1": {"w": 0, "b": 0},
-                "fc2": {"w": 0, "b": 0},
-            },
-        },
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """NamedShardings matching an actual parameter pytree (TP over heads /
+    MLP columns; vision + norms replicated)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for_path(path, leaf)),
+        params,
     )
-    return {
-        "embed_tokens": rep,
-        "layers": layers,
-        "final_ln": rep,
-        "lm_head": s(None, "tp"),
-        "visual": visual_rep,
-    }
 
 
 def cache_shardings(mesh: Mesh):
@@ -101,8 +88,4 @@ def cache_shardings(mesh: Mesh):
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    shardings = param_shardings(mesh)
-    if "lm_head" not in params:
-        shardings = dict(shardings)
-        shardings.pop("lm_head")
-    return jax.device_put(params, shardings)
+    return jax.device_put(params, param_shardings(mesh, params))

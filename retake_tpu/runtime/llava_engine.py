@@ -193,4 +193,8 @@ def load_llava_engine(hf_path: str, rt: RetakeConfig) -> LlavaOnevisionEngine:
 
     cfg = LlavaOnevisionConfig.from_pretrained(hf_path)
     params = params_lib.load_safetensors(hf_path, cfg)
+    if rt.quantization == "int8":
+        from retake_tpu.ops.quantization import quantize_llm_int8
+
+        params = quantize_llm_int8(params)
     return LlavaOnevisionEngine(cfg, params, rt)

@@ -59,6 +59,9 @@ class RetakeConfig:
     do_sample: bool = False
     max_new_tokens: int = 128
     output_dir: Optional[str] = None
+    # TPU-native extension: weight-only quantization ("int8" | None) — lets
+    # the 7B models fit a single 16 GB v5e chip
+    quantization: Optional[str] = None
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -72,6 +75,7 @@ class RetakeConfig:
             "method",
             "scaling_factor",
             "attn_implementation",
+            "quantization",
             "dataset_name",
             "anno_file",
             "dataloader_num_workers",

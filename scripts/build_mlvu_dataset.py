@@ -32,17 +32,29 @@ TASK_TYPES = {
     "9_summary": ("Video Summary", "gen"),
 }
 
+# test split adds SportsQA and Tutorial QA (reference
+# build_mlvu_test_dataset.py variant)
+TEST_TASK_TYPES = dict(
+    TASK_TYPES,
+    **{
+        "10_sports": ("SportsQA", "mc"),
+        "11_tutorial": ("Tutorial QA", "mc"),
+    },
+)
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mlvu_root", required=True, help="dir with json/ and video/")
     p.add_argument("--frame_root", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--split", choices=["dev", "test"], default="dev")
     args = p.parse_args()
 
+    task_types = TASK_TYPES if args.split == "dev" else TEST_TASK_TYPES
     annos = []
     json_dir = os.path.join(args.mlvu_root, "json")
-    for stem, (qtype, kind) in TASK_TYPES.items():
+    for stem, (qtype, kind) in task_types.items():
         path = os.path.join(json_dir, f"{stem}.json")
         if not os.path.exists(path):
             print("missing task file:", path)
