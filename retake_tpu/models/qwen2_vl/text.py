@@ -124,11 +124,16 @@ def _layer(
     k_rot = rope.apply_rope(k, cos, sin)
 
     if s == 1:
-        # decode: a blockwise online-softmax scan is pure latency for one
-        # query — a single masked matmul over the budget is HBM-bound
-        attn_out = attn_ops.chunk_prefill_attention(
-            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
-        )
+        if attn_impl == "xla":
+            attn_out = attn_ops.chunk_prefill_attention(
+                q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
+            )
+        else:
+            # decode: append-free single-token attention — concatenating the
+            # cache would copy the whole multi-GB buffer every step
+            attn_out = attn_ops.decode_attention_appendfree(
+                q_rot, ck_attn, cv_attn, cache_len, k_rot, v
+            )
     elif attn_impl == "pallas":
         from retake_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 

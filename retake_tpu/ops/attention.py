@@ -103,59 +103,70 @@ def flash_chunk_attention(
     num_kv_heads, budget, _ = key_cache.shape
     group = num_heads // num_kv_heads
 
-    k_all = jnp.concatenate([key_cache, key_new], axis=1)
-    v_all = jnp.concatenate([value_cache, value_new], axis=1)
-    total = budget + s
-    pad = (-total) % block_size
-    if pad:
-        k_all = jnp.pad(k_all, ((0, 0), (0, pad), (0, 0)))
-        v_all = jnp.pad(v_all, ((0, 0), (0, pad), (0, 0)))
-    num_blocks = (total + pad) // block_size
-
     # keep matmul inputs in the activation dtype (bf16 on the MXU, fp32
     # accumulation via preferred_element_type) — flash-attn-equivalent
-    # numerics; the online-softmax state (m, l, acc) stays fp32
+    # numerics; the online-softmax state (m, l, acc) stays fp32.
+    # Blocks are dynamic-sliced out of the original buffers inside the scan:
+    # concatenate/pad/transpose staging would copy the whole multi-GB cache
+    # once per layer per chunk.
     q = query.reshape(num_kv_heads, group, s, head_dim)
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
     qi = jnp.arange(s)[:, None]  # query row index within the chunk
 
-    k_blocks = k_all.reshape(num_kv_heads, num_blocks, block_size, head_dim)
-    v_blocks = v_all.reshape(num_kv_heads, num_blocks, block_size, head_dim)
+    def phase(k_src, v_src, block, mask_fn, carry):
+        total = k_src.shape[1]
+        block = min(block, total)
+        num_blocks = -(-total // block)
 
-    def body(carry, xs):
-        m, l, acc = carry
-        kb, vb, start = xs  # [KV, B, D], [KV, B, D], scalar
-        col = start + jnp.arange(block_size)[None, :]  # [1, B] global col idx
-        in_cache = (col < cache_len) & (col < budget)
-        cj = col - budget  # chunk-local column index
-        in_chunk = (col >= budget) & (cj <= qi) & ((cj < valid_len) | (cj == qi))
-        mask = in_cache | in_chunk  # [S, B]
-
-        logits = (
-            jnp.einsum(
-                "kgsd,kbd->kgsb", q, kb, preferred_element_type=jnp.float32
+        def body(carry, start):
+            m, l, acc = carry
+            # tail blocks clamp left; re-covered columns are masked out below
+            cstart = jnp.minimum(start, total - block)
+            kb = jax.lax.dynamic_slice(
+                k_src, (0, cstart, 0), (num_kv_heads, block, head_dim)
             )
-            * scale
-        )
-        logits = jnp.where(mask[None, None], logits, NEG_INF)
-        m_new = jnp.maximum(m, logits.max(axis=-1))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(logits - m_new[..., None])
-        l_new = l * alpha + p.sum(axis=-1)
-        acc_new = acc * alpha[..., None] + jnp.einsum(
-            "kgsb,kbd->kgsd", p.astype(vb.dtype), vb,
-            preferred_element_type=jnp.float32,
-        )
-        return (m_new, l_new, acc_new), None
+            vb = jax.lax.dynamic_slice(
+                v_src, (0, cstart, 0), (num_kv_heads, block, head_dim)
+            )
+            col = cstart + jnp.arange(block)[None, :]
+            mask = mask_fn(col) & (col >= start)  # [S or 1, B]
+            logits = (
+                jnp.einsum(
+                    "kgsd,kbd->kgsb", q, kb, preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+            logits = jnp.where(mask[None, None], logits, NEG_INF)
+            m_new = jnp.maximum(m, logits.max(axis=-1))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[..., None])
+            l_new = l * alpha + p.sum(axis=-1)
+            acc_new = acc * alpha[..., None] + jnp.einsum(
+                "kgsb,kbd->kgsd", p.astype(vb.dtype), vb,
+                preferred_element_type=jnp.float32,
+            )
+            return (m_new, l_new, acc_new), None
 
-    m0 = jnp.full((num_kv_heads, group, s), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((num_kv_heads, group, s), jnp.float32)
-    acc0 = jnp.zeros((num_kv_heads, group, s, head_dim), jnp.float32)
-    starts = jnp.arange(num_blocks) * block_size
-    (m, l, acc), _ = jax.lax.scan(
-        body,
-        (m0, l0, acc0),
-        (k_blocks.transpose(1, 0, 2, 3), v_blocks.transpose(1, 0, 2, 3), starts),
+        starts = jnp.arange(num_blocks) * block
+        carry, _ = jax.lax.scan(body, carry, starts)
+        return carry
+
+    carry = (
+        jnp.full((num_kv_heads, group, s), NEG_INF, jnp.float32),
+        jnp.zeros((num_kv_heads, group, s), jnp.float32),
+        jnp.zeros((num_kv_heads, group, s, head_dim), jnp.float32),
+    )
+    # phase 1: cached prefix, masked by fill level
+    carry = phase(
+        key_cache, value_cache, block_size,
+        lambda col: col < cache_len,
+        carry,
+    )
+    # phase 2: the chunk's own keys, causal
+    m, l, acc = phase(
+        key_new, value_new, block_size,
+        lambda col: (col <= qi) & ((col < valid_len) | (col == qi)),
+        carry,
     )
     out = acc / jnp.maximum(l, 1e-37)[..., None]
     return out.reshape(num_heads, s, head_dim).astype(query.dtype)
@@ -170,3 +181,48 @@ def decode_attention(
     budget = key_cache.shape[1]
     mask = (jnp.arange(budget) < cache_len)[None, :]  # [1, budget]
     return gqa_attention(query, key_cache, value_cache, mask)
+
+
+def decode_attention_appendfree(
+    query: jax.Array,  # [H, 1, D]
+    key_cache: jax.Array,  # [KV, budget, D] (new token NOT yet appended)
+    value_cache: jax.Array,
+    cache_len: jax.Array,  # scalar int32 — valid cached tokens
+    key_new: jax.Array,  # [KV, 1, D] the current token's key
+    value_new: jax.Array,
+) -> jax.Array:
+    """Single-token attention without copying the cache.
+
+    ``concatenate([cache, new])`` rewrites the whole multi-GB cache buffer
+    every decode step; here the new token's logit/value contribution is
+    computed separately and merged into one softmax — HBM traffic drops to a
+    single read of the valid cache region.
+    """
+    num_heads, _, head_dim = query.shape
+    num_kv, budget, _ = key_cache.shape
+    group = num_heads // num_kv
+    q = query.reshape(num_kv, group, head_dim)
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+
+    logits_c = jnp.einsum(
+        "kgd,ktd->kgt", q, key_cache, preferred_element_type=jnp.float32
+    ) * scale  # [KV, G, budget]
+    logits_c = jnp.where(
+        (jnp.arange(budget) < cache_len)[None, None, :], logits_c, NEG_INF
+    )
+    logit_s = jnp.einsum(
+        "kgd,kd->kg", q, key_new[:, 0], preferred_element_type=jnp.float32
+    )[..., None] * scale  # [KV, G, 1]
+
+    m = jnp.maximum(logits_c.max(axis=-1, keepdims=True), logit_s)
+    p_c = jnp.exp(logits_c - m)
+    p_s = jnp.exp(logit_s - m)
+    denom = p_c.sum(axis=-1, keepdims=True) + p_s
+    out = (
+        jnp.einsum(
+            "kgt,ktd->kgd", p_c.astype(value_cache.dtype), value_cache,
+            preferred_element_type=jnp.float32,
+        )
+        + p_s.astype(jnp.float32) * value_new[:, 0][:, None, :]
+    ) / denom
+    return out.reshape(num_heads, 1, head_dim).astype(query.dtype)

@@ -76,3 +76,22 @@ def test_pallas_kernel_matches_einsum(rng):
             np.asarray(out)[:, :valid], np.asarray(ref)[:, :valid],
             atol=3e-5,
         )
+
+
+def test_decode_appendfree_matches_concat_path(rng):
+    h, kv, budget, d = 8, 2, 96, 16
+    q = jnp.asarray(rng.normal(size=(h, 1, d)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(kv, 1, d)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(kv, 1, d)), jnp.float32)
+    for cache_len in (0, 1, 50, 96):
+        ref = attn.chunk_prefill_attention(
+            q, kc, vc, jnp.int32(cache_len), kn, vn, jnp.int32(1)
+        )
+        out = attn.decode_attention_appendfree(
+            q, kc, vc, jnp.int32(cache_len), kn, vn
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
