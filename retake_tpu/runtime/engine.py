@@ -147,19 +147,6 @@ def _video_chunk_with_prompt_step(
     )
 
 
-@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "reforge", "attn_impl"))
-def _decode_step(params, cfg: Qwen2VLConfig, cache, token, pos_scalar, reforge, attn_impl):
-    emb = text.embed(params, token[None])  # [1, d]
-    pos3 = jnp.broadcast_to(pos_scalar, (3, 1)).astype(jnp.int32)
-    hidden, cache = text.decoder_chunk(
-        params, cfg, cache, emb, pos3, jnp.int32(1),
-        jnp.zeros(1, bool), jnp.int32(1),
-        compress=False, reforge=reforge, attn_impl=attn_impl,
-    )
-    logits = text.final_logits(params, cfg, hidden[0])
-    return jnp.argmax(logits), cache
-
-
 @partial(
     jax.jit,
     donate_argnames=("cache",),

@@ -1,0 +1,108 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates the GSPMD dp x tp design (parallel/mesh.py) the way the driver's
+dryrun does, plus: sharded outputs match the single-device reference, and the
+path-based sharding rules cover both bf16 and int8 parameter trees.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from retake_tpu.models.qwen2_vl import params as params_lib, text
+from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
+from retake_tpu.parallel import mesh as mesh_lib
+from retake_tpu.runtime import cache as cache_lib
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TINY_TEST_CONFIG
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+    return cfg, params
+
+
+def _run_chunk(cfg, params, embeds, pos, budget=64):
+    kv = cache_lib.init_cache(
+        cfg.num_hidden_layers, cfg.num_key_value_heads, budget, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    hidden, kv = text.decoder_chunk(
+        params, cfg, kv, embeds, pos, jnp.int32(embeds.shape[0]),
+        jnp.zeros(embeds.shape[0], bool), jnp.int32(embeds.shape[0] // 2),
+        compress=True, reforge=True,
+    )
+    return hidden, kv
+
+
+def test_tp_sharded_matches_single_device(setup, rng):
+    cfg, params = setup
+    s = 16
+    embeds = jnp.asarray(
+        rng.normal(size=(s, cfg.hidden_size)) * 0.1, jnp.float32
+    )
+    pos = jnp.asarray(
+        np.broadcast_to(np.arange(s, dtype=np.int32), (3, s))
+    )
+    ref_hidden, ref_kv = jax.jit(
+        lambda p, e, q: _run_chunk(cfg, p, e, q)
+    )(params, embeds, pos)
+
+    mesh = mesh_lib.make_mesh(dp=1, tp=2)
+    sharded = mesh_lib.shard_params(params, mesh)
+    with jax.set_mesh(mesh):
+        hidden, kv = jax.jit(lambda p, e, q: _run_chunk(cfg, p, e, q))(
+            sharded, embeds, pos
+        )
+    np.testing.assert_allclose(
+        np.asarray(hidden), np.asarray(ref_hidden), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv.k), np.asarray(ref_kv.k), atol=1e-4
+    )
+    assert int(kv.length) == s // 2
+
+
+def test_shardings_cover_int8_tree(setup):
+    cfg, _ = setup
+    qparams = params_lib.init_params(
+        cfg, seed=0, dtype=jnp.float32, quantize_int8=True
+    )
+    mesh = mesh_lib.make_mesh(dp=1, tp=2)
+    sharded = mesh_lib.shard_params(qparams, mesh)  # must not raise
+    spec = sharded["layers"]["q"]["w"].sharding.spec
+    assert spec == P(None, None, "tp")
+    assert sharded["layers"]["q"]["scale"].sharding.spec == P(None, "tp")
+    assert sharded["layers"]["o"]["w"].sharding.spec == P(None, "tp", None)
+
+
+def test_dp_batched_requests(setup, rng):
+    """Two requests vmapped over a dp-sharded batch axis."""
+    cfg, params = setup
+    mesh = mesh_lib.make_mesh(dp=2, tp=2)
+    sharded = mesh_lib.shard_params(params, mesh)
+    s, batch = 8, 2
+    embeds = jnp.asarray(
+        rng.normal(size=(batch, s, cfg.hidden_size)) * 0.1, jnp.float32
+    )
+    pos = jnp.asarray(
+        np.broadcast_to(np.arange(s, dtype=np.int32), (batch, 3, s))
+    )
+    bsh = NamedSharding(mesh, P("dp"))
+    embeds = jax.device_put(embeds, bsh)
+    pos = jax.device_put(pos, bsh)
+
+    def one(e, q):
+        h, kv = _run_chunk(cfg, sharded, e, q)
+        return h, kv.length
+
+    with jax.set_mesh(mesh):
+        h, lengths = jax.jit(jax.vmap(one))(embeds, pos)
+        h.block_until_ready()
+    assert h.shape == (batch, s, cfg.hidden_size)
+    np.testing.assert_array_equal(np.asarray(lengths), [s // 2, s // 2])
