@@ -181,3 +181,67 @@ def test_segment_modalities():
         (0, 2, "text"), (2, 5, "video"), (5, 7, "text"),
         (7, 9, "video"), (9, 10, "text"),
     ]
+
+
+def test_get_rope_index_multi_video_and_image(rng):
+    """Mixed media sequences: positions must match HF exactly."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+
+    hf_cfg = transformers.Qwen2VLConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_scaling={"type": "mrope", "mrope_section": [4, 2, 2]},
+        vision_config=dict(
+            depth=2, embed_dim=32, hidden_size=64, mlp_ratio=2, num_heads=2,
+            in_channels=3, patch_size=2, spatial_merge_size=2,
+            temporal_patch_size=2,
+        ),
+        vision_start_token_id=3, vision_end_token_id=4,
+        image_token_id=5, video_token_id=6,
+    )
+    model = transformers.Qwen2VLForConditionalGeneration(hf_cfg)
+    img_grid = np.array([[1, 4, 4]])       # 4 image tokens
+    vid_grid = np.array([[2, 4, 6], [4, 2, 2]])  # 12 and 4 video tokens
+    ids = np.array(
+        [10, 3] + [5] * 4 + [4, 11, 3] + [6] * 12 + [4, 12, 3] + [6] * 4
+        + [4, 13, 14],
+        dtype=np.int64,
+    )
+    hf_pos, hf_delta = model.model.get_rope_index(
+        torch.from_numpy(ids)[None],
+        torch.from_numpy(img_grid),
+        torch.from_numpy(vid_grid),
+        None,
+    )
+    pos, delta = pos_lib.get_rope_index(
+        ids,
+        spatial_merge_size=2,
+        image_token_id=5,
+        video_token_id=6,
+        vision_start_token_id=3,
+        image_grid_thw=img_grid,
+        video_grid_thw=vid_grid,
+    )
+    np.testing.assert_array_equal(pos, hf_pos[:, 0].numpy())
+    assert delta == int(hf_delta[0, 0])
+
+
+def test_reforge_after_visual_compression_semantics():
+    """Reference reforge (qwen2_vl.py:419-438): keep the FIRST tgt video
+    tokens' positions, shift everything after the span down by the dropped
+    frame count on all three axes."""
+    # text(2) + video 4 tokens (2 frames x 2 tok) + text(2)
+    ids = np.array([7, 8, 6, 6, 6, 6, 9, 10], dtype=np.int64)
+    pos = np.stack([
+        np.array([0, 1, 2, 2, 3, 3, 4, 5]),   # temporal
+        np.array([0, 1, 2, 2, 2, 2, 4, 5]),   # h
+        np.array([0, 1, 2, 3, 2, 3, 4, 5]),   # w
+    ]).astype(np.int32)
+    new_ids, new_pos = pos_lib.reforge_after_visual_compression(
+        ids, pos, (2, 6), tgt_seq_len=2, num_frame_diff=1
+    )
+    np.testing.assert_array_equal(new_ids, [7, 8, 6, 6, 9, 10])
+    np.testing.assert_array_equal(new_pos[0], [0, 1, 2, 2, 3, 4])
+    np.testing.assert_array_equal(new_pos[1], [0, 1, 2, 2, 3, 4])
+    np.testing.assert_array_equal(new_pos[2], [0, 1, 2, 3, 3, 4])
