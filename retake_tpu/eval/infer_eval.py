@@ -120,6 +120,38 @@ def main():
         merge_and_score(rt, world)
 
 
+def prefetch_iter(indices, load_fn, num_workers: int):
+    """Yield (idx, load_fn(idx)) with up to ``num_workers`` loads running in
+    background threads, pipelined ``depth`` samples ahead.
+
+    The TPU-side generate leaves the (single-core) host idle for seconds per
+    sample; threads decode the next samples' JPEG frames in that window —
+    the reference gets the same overlap from ``DataLoader(num_workers=...)``
+    (retake/infer_eval.py:184). ``num_workers<=0`` falls back to serial.
+    Results come back in order (answer parity with the serial loop).
+    """
+    if num_workers <= 0:
+        for idx in indices:
+            yield idx, load_fn(idx)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
+    depth = num_workers + 1
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        pending = deque()
+        it = iter(indices)
+        for idx in indices[:depth]:
+            pending.append((idx, ex.submit(load_fn, idx)))
+            next(it)
+        while pending:
+            idx, fut = pending.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((nxt, ex.submit(load_fn, nxt)))
+            yield idx, fut.result()
+
+
 def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
     """Round-robin shard loop with per-sample journaling (resumable)."""
     from retake_tpu.data.scorers import trim_answer
@@ -136,14 +168,21 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 done[rec["idx"]] = rec["answer"]
         print(f"[rank {rank}] resuming: {len(done)} samples already done")
 
-    indices = [i for i in range(len(dataset)) if i % world == rank]
+    indices = [
+        i for i in range(len(dataset)) if i % world == rank and i not in done
+    ]
+
+    def load(idx):
+        i, message, meta = dataset[idx]
+        inputs = processor(message["question"], message["video"])
+        return i, message, meta, inputs
+
     t_start = time.time()
     with open(shard_file, "a") as journal:
-        for n, idx in enumerate(indices):
-            if idx in done:
-                continue
-            i, message, meta = dataset[idx]
-            inputs = processor(message["question"], message["video"])
+        for n, (idx, loaded) in enumerate(
+            prefetch_iter(indices, load, rt.dataloader_num_workers)
+        ):
+            i, message, meta, inputs = loaded
             result = engine.generate(
                 inputs["input_ids"],
                 inputs["pixel_values_videos"],

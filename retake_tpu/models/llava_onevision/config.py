@@ -53,6 +53,12 @@ class LlavaOnevisionConfig:
     vision_feature_layer: int = -1
     vision_feature_select_strategy: str = "full"
     pool_stride: int = 2  # hardcoded in the reference (llava_onevision.py:330)
+    # anyres still-image packing (reference llava_onevision.py:383-416);
+    # default pinpoints are the HF llava-onevision 384px grid set
+    image_grid_pinpoints: tuple = tuple(
+        (h * 384, w * 384) for h in range(1, 7) for w in range(1, 7)
+    )
+    vision_aspect_ratio: str = "anyres_max_9"
 
     @property
     def pooled_grid(self) -> int:
@@ -109,6 +115,13 @@ class LlavaOnevisionConfig:
             vision_feature_select_strategy=d.get(
                 "vision_feature_select_strategy", "full"
             ),
+            image_grid_pinpoints=tuple(
+                tuple(p) for p in d.get(
+                    "image_grid_pinpoints",
+                    LlavaOnevisionConfig.image_grid_pinpoints,
+                )
+            ),
+            vision_aspect_ratio=d.get("vision_aspect_ratio", "anyres_max_9"),
         )
 
     @staticmethod

@@ -22,11 +22,15 @@ import jax.numpy as jnp
 from retake_tpu.models.llava_onevision.config import SiglipVisionConfig
 
 
-def patchify_frames(frames_u8: jax.Array, vcfg: SiglipVisionConfig) -> jax.Array:
-    """[T, H, W, 3] uint8 -> [T, grid*grid, 3*ps*ps] normalized bf16.
+def patchify_frames(
+    frames_u8: jax.Array, vcfg: SiglipVisionConfig, dtype=jnp.bfloat16
+) -> jax.Array:
+    """[T, H, W, 3] uint8 -> [T, grid*grid, 3*ps*ps] normalized patches.
 
     Patch vector order is (channel, ph, pw), matching the Conv2d kernel
-    flatten in params.py. Normalization: (x/255 - 0.5) / 0.5.
+    flatten in params.py. Normalization: (x/255 - 0.5) / 0.5. ``dtype``
+    should match the tower's parameter dtype (bf16 in production; fp32 in
+    the HF-parity tests, where a bf16 cast costs ~1e-2 of embedding noise).
     """
     t = frames_u8.shape[0]
     g, ps = vcfg.grid, vcfg.patch_size
@@ -34,7 +38,7 @@ def patchify_frames(frames_u8: jax.Array, vcfg: SiglipVisionConfig) -> jax.Array
     x = (x - 0.5) / 0.5
     x = x.reshape(t, g, ps, g, ps, 3)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # [T, gh, gw, C, ph, pw]
-    return x.reshape(t, g * g, 3 * ps * ps).astype(jnp.bfloat16)
+    return x.reshape(t, g * g, 3 * ps * ps).astype(dtype)
 
 
 def _layer_norm(x, scale, bias, eps):
@@ -102,5 +106,9 @@ def apply_pooling(
     """
     t, n, d = features.shape
     x = features.reshape(t, grid, grid, d).astype(jnp.float32)
-    x = jax.image.resize(x, (t, pooled, pooled, d), method="bilinear")
+    # torch F.interpolate(bilinear, align_corners=False) does NOT antialias;
+    # jax.image.resize defaults antialias=True, which diverges on downscale
+    x = jax.image.resize(
+        x, (t, pooled, pooled, d), method="bilinear", antialias=False
+    )
     return x.reshape(t, pooled * pooled, d).astype(features.dtype)

@@ -45,10 +45,21 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 def _linear(x, p, bias_key="b"):
     """Linear over a weight dict; dispatches on int8 quantization
     (ops/quantization.py): y = (x @ w_q) * scale, exact since the per-output
-    -channel scale commutes with the contraction."""
+    -channel scale commutes with the contraction.
+
+    Single-token (decode) inputs on quantized weights route through the
+    Pallas fused-dequant matvec: decode is weight-read bound and XLA's
+    lowering of ``x @ w_int8.astype(bf16)`` materializes a bf16 weight copy
+    in HBM (3x the int8 bytes); the kernel streams int8 and converts in-core.
+    """
     w = p["w"]
     if "scale" in p:
-        y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
+        if x.shape[0] == 1 and x.ndim == 2 and w.ndim == 2:
+            from retake_tpu.ops.pallas.int8_matvec import int8_matvec
+
+            y = int8_matvec(x, w, p["scale"])
+        else:
+            y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
     else:
         y = x @ w
     b = p.get(bias_key)
@@ -123,6 +134,22 @@ def _layer(
     q_rot = rope.apply_rope(q, cos, sin)
     k_rot = rope.apply_rope(k, cos, sin)
 
+    # Scoring inputs for PivotKV eviction: under pos_embed_reforge the
+    # reference de-rotates q/k (bf16 round trip) before scoring
+    # (longvideo_cache.py:248-259). Computed before attention so the Pallas
+    # path can fuse the scoring softmax into the attention kernel.
+    fused_scores = None
+    if compress:
+        if reforge:
+            q_s = rope.apply_rope(
+                q_rot, cos, sin, reverse=True, attention_scaling=attention_scaling
+            )
+            k_s = rope.apply_rope(
+                k_rot, cos, sin, reverse=True, attention_scaling=attention_scaling
+            )
+        else:
+            q_s, k_s = q_rot, k_rot
+
     if s == 1:
         if attn_impl == "xla":
             attn_out = attn_ops.chunk_prefill_attention(
@@ -140,6 +167,15 @@ def _layer(
         attn_out = flash_prefill_attention(
             q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
         )
+        if compress:
+            # single-pass Pallas scoring: no [H, S, S] fp32 probability
+            # tensor in HBM (the XLA eviction_scores path pays ~0.5 GB of
+            # probs traffic per layer per chunk at production shapes)
+            from retake_tpu.ops.pallas.pivot_scores import pivot_score_sums
+
+            score_sums = pivot_score_sums(q_s, k_s, valid_len)
+            group = n_heads // kv_heads
+            fused_scores = score_sums.sum(axis=0) / (kv_heads * group)
     elif attn_impl == "flash":
         attn_out = attn_ops.flash_chunk_attention(
             q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
@@ -160,18 +196,15 @@ def _layer(
     if not compress:
         k_block, v_block, pos_block = k_rot, v, pos_layer
     else:
-        if reforge:
-            # bf16 rotate->de-rotate round-trip, faithful to the reference
-            # (longvideo_cache.py:248-259)
-            q_s = rope.apply_rope(
-                q_rot, cos, sin, reverse=True, attention_scaling=attention_scaling
-            )
-            k_s = rope.apply_rope(
-                k_rot, cos, sin, reverse=True, attention_scaling=attention_scaling
-            )
+        if fused_scores is not None:
+            # keypatch force-keep + padding masking on the kernel's raw
+            # attention-mass sums (parity with pivotkv.eviction_scores)
+            scores = fused_scores
+            if keypatch is not None:
+                scores = jnp.where(keypatch, 1.0, scores)
+            scores = jnp.where(valid_mask, scores, pivotkv.NEG_INF)
         else:
-            q_s, k_s = q_rot, k_rot
-        scores = pivotkv.eviction_scores(q_s, k_s, valid_mask, keypatch)
+            scores = pivotkv.eviction_scores(q_s, k_s, valid_mask, keypatch)
         perm, kept_mask = pivotkv.keep_partition(scores, keep_len)
         v_block = v[:, perm]
         pos_block = pos_layer[:, perm]
@@ -243,9 +276,7 @@ def final_logits(params: dict, cfg: Qwen2VLConfig, hidden_last: jax.Array):
     head = params.get("lm_head")
     if head is not None:
         if isinstance(head, dict):
-            logits = (h @ head["w"].astype(h.dtype)) * head["scale"].astype(
-                h.dtype
-            )
+            logits = _linear(h[None, :], head)[0]
         else:
             logits = h @ head
     else:  # tied embeddings (Qwen2-VL-2B)

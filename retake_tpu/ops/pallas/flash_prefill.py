@@ -18,14 +18,25 @@ Design points (see /opt/skills/guides/pallas_guide.md):
     not the budget. This is what lets one compiled program serve every fill
     level at reference-like FLOPs, where the XLA fallback pays for the whole
     budget every chunk.
+  * the DMA/grid block (BK, large: few grid steps, low dead-step overhead)
+    is decoupled from the compute tile (SUB_K: bounds the [G*BQ, SUB_K] fp32
+    logit/prob temporaries to fit the 16 MB VMEM). Queries and chunk keys pad
+    independently (block_q | block_k).
   * GQA: the G query heads of one KV head are flattened into the row axis of
-    a single [G*BQ, BK] MXU matmul.
+    a single [G*BQ, SUB_K] MXU matmul.
   * bf16 matmul inputs, fp32 logits/softmax state (flash-attn numerics).
+
+PivotKV eviction scoring deliberately lives in its own kernel
+(ops/pallas/pivot_scores.py): under ``pos_embed_reforge`` the scoring inputs
+are de-rotated, so no matmul is shared with this pass, and the scoring
+softmax normalizes differently (non-causal, chunk keys only) — an in-kernel
+fusion measured ~2x slower than the standalone single-pass kernel.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 DEFAULT_BQ = 256
-DEFAULT_BK = 512
+DEFAULT_BK = 2048
+# compute tile width within a DMA block: bounds the [G*BQ, SUB_K] fp32
+# logit/prob temporaries to ~3.5 MB of VMEM while the grid/DMA block (BK)
+# stays large — fewer grid steps means less dead-step overhead at low cache
+# fill levels
+SUB_K = 512
 
 
 def _kernel(
@@ -74,72 +90,83 @@ def _kernel(
     )
     live = cache_live | chunk_live
 
-    # interior cache blocks (fully below cache_len) need no masking at all —
-    # skipping the iota/compare/select passes there keeps the VPU off the
-    # critical path; only the cache boundary block and chunk blocks mask.
-    interior = in_cache_region & (block_start + bk <= cache_len)
-
-    def _flash_update(s, g, d):
-        rows = g * bq
+    def _flash_update(s, v):
         m_prev = m_ref[:, :1]  # [rows, 1]
         l_prev = l_ref[:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [rows, BK] f32
+        p = jnp.exp(s - m_new)  # [rows, SUB] f32
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    sub_w = min(bk, SUB_K)
+    nsub = bk // sub_w
 
     @pl.when(live)
     def _compute():
         g, _, d = q_ref.shape[1:]
         rows = g * bq
         q = q_ref[0].reshape(rows, d)
-        k = k_ref[0]  # [BK, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [rows, BK]
-
-        @pl.when(interior)
-        def _unmasked():
-            _flash_update(s, g, d)
-
-        @pl.when(jnp.logical_not(interior))
-        def _masked():
-            # mask depends only on (token row, col): compute [BQ, BK] once
-            # and broadcast over the G grouped heads
-            col = block_start + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, bk), 1
+        for si in range(nsub):
+            sub_start = block_start + si * sub_w
+            sub_cache_live = in_cache_region & (sub_start < cache_len)
+            sub_chunk_live = jnp.logical_not(in_cache_region) & (
+                sub_start - budget <= q_row_end
             )
-            qi = j * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            in_cache = (col < cache_len) & (col < budget)
-            cj = col - budget
-            in_chunk = (col >= budget) & (cj <= qi) & (
-                (cj < valid_len) | (cj == qi)
+            # interior sub-tiles (fully below cache_len) skip masking: no
+            # iota/compare/select on the VPU critical path
+            sub_interior = in_cache_region & (
+                sub_start + sub_w <= cache_len
             )
-            mask = in_cache | in_chunk  # [BQ, BK]
-            s3 = s.reshape(g, bq, bk)
-            s3 = jnp.where(mask[None], s3, NEG_INF)
-            _flash_update(s3.reshape(rows, bk), g, d)
+
+            @pl.when(sub_cache_live | sub_chunk_live)
+            def _sub(si=si, sub_start=sub_start, sub_interior=sub_interior):
+                k = k_ref[0, si * sub_w : (si + 1) * sub_w]  # [SUB, D]
+                v = v_ref[0, si * sub_w : (si + 1) * sub_w]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [rows, SUB]
+
+                @pl.when(sub_interior)
+                def _unmasked():
+                    _flash_update(s, v)
+
+                @pl.when(jnp.logical_not(sub_interior))
+                def _masked():
+                    # mask depends only on (token row, col): compute
+                    # [BQ, SUB] once, broadcast over the G grouped heads
+                    col = sub_start + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, sub_w), 1
+                    )
+                    qi = j * bq + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, sub_w), 0
+                    )
+                    in_cache = (col < cache_len) & (col < budget)
+                    cj = col - budget
+                    in_chunk = (col >= budget) & (cj <= qi) & (
+                        (cj < valid_len) | (cj == qi)
+                    )
+                    mask = in_cache | in_chunk  # [BQ, SUB]
+                    s3 = s.reshape(g, bq, sub_w)
+                    s3 = jnp.where(mask[None], s3, NEG_INF)
+                    _flash_update(s3.reshape(rows, sub_w), v)
 
     @pl.when(kb == num_kv_blocks - 1)
     def _finish():
         g, _, d = q_ref.shape[1:]
-        rows = g * bq
         l = jnp.maximum(l_ref[:, :1], 1e-37)
         out = (acc_ref[:] / l).reshape(g, bq, d)
         o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k")
-)
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_prefill_attention(
     query: jax.Array,  # [H, S, D] RoPE'd chunk queries
     key_cache: jax.Array,  # [KV, budget, D]
@@ -155,18 +182,30 @@ def flash_prefill_attention(
     num_heads, s, d = query.shape
     num_kv, budget, _ = key_cache.shape
     g = num_heads // num_kv
+    # shrink blocks for small shapes (tiny-model tests); production budgets
+    # are multiples of 8192, so the defaults are used unchanged there
+    block_k = math.gcd(budget, block_k)
+    block_q = min(block_q, -(-s // 8) * 8)
+    # cap the flattened GQA row count so the [G*BQ, SUB_K] fp32 logit/prob
+    # temporaries fit the 16 MB VMEM budget (7B: G=7 -> BQ 128)
+    while g * block_q > 1536 and block_q > 128:
+        block_q //= 2
     assert budget % block_k == 0, (budget, block_k)
 
-    s_pad = -(-s // max(block_q, block_k)) * max(block_q, block_k)
+    # queries pad to block_q, chunk keys pad to block_k — independently, so a
+    # large block_k does not inflate the query-row count
+    s_pad_q = -(-s // block_q) * block_q
+    s_pad_k = -(-s // block_k) * block_k
     q = query.reshape(num_kv, g, s, d)
-    if s_pad != s:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
-        key_new = jnp.pad(key_new, ((0, 0), (0, s_pad - s), (0, 0)))
-        value_new = jnp.pad(value_new, ((0, 0), (0, s_pad - s), (0, 0)))
+    if s_pad_q != s:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad_q - s), (0, 0)))
+    if s_pad_k != s:
+        key_new = jnp.pad(key_new, ((0, 0), (0, s_pad_k - s), (0, 0)))
+        value_new = jnp.pad(value_new, ((0, 0), (0, s_pad_k - s), (0, 0)))
     k_all = jnp.concatenate([key_cache, key_new], axis=1)
     v_all = jnp.concatenate([value_cache, value_new], axis=1)
-    total = budget + s_pad
-    num_q_blocks = s_pad // block_q
+    total = budget + s_pad_k
+    num_q_blocks = s_pad_q // block_q
     num_kv_blocks = total // block_k
 
     def q_index(i, j, kb, scalars):
@@ -216,16 +255,16 @@ def flash_prefill_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_kv, g, s_pad, d), query.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_kv, g, s_pad_q, d), query.dtype),
         interpret=jax.default_backend() == "cpu",  # CPU tests / dryruns
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * s_pad * total * d * num_heads,
-            bytes_accessed=(total * d * 2 * num_kv + s_pad * d * num_heads)
+            flops=4 * s_pad_q * total * d * num_heads,
+            bytes_accessed=(total * d * 2 * num_kv + s_pad_q * d * num_heads)
             * 2,
-            transcendentals=s_pad * total * num_heads,
+            transcendentals=s_pad_q * total * num_heads,
         ),
     )(scalars, q, k_all, v_all)
-    return out.reshape(num_heads, s_pad, d)[:, :s]
+    return out.reshape(num_heads, s_pad_q, d)[:, :s]

@@ -147,22 +147,55 @@ def _video_chunk_with_prompt_step(
     )
 
 
+def _select_token(logits, key, sampling: Optional[Tuple]) -> jax.Array:
+    """Greedy argmax, or seeded temperature/top-k/top-p sampling.
+
+    ``sampling`` = (temperature, top_p, top_k) with HF LogitsWarper semantics
+    (the reference forwards ``do_sample`` to HF generate,
+    retake/infer_eval.py:110): top-k keeps the k best, top-p keeps the
+    smallest prefix of the descending-sorted distribution whose cumulative
+    probability covers top_p (always at least one token).
+    """
+    if sampling is None:
+        return jnp.argmax(logits).astype(jnp.int32)
+    temperature, top_p, top_k = sampling
+    logits = logits.astype(jnp.float32)
+    if temperature != 1.0:
+        logits = logits / jnp.float32(temperature)
+    if top_k:
+        kth = jax.lax.top_k(logits, int(top_k))[0][-1]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_desc = jnp.sort(logits)[::-1]
+        probs = jax.nn.softmax(sorted_desc)
+        cum = jnp.cumsum(probs)
+        n_keep = jnp.maximum(jnp.sum((cum - probs) < top_p), 1)
+        cutoff = sorted_desc[n_keep - 1]
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
 @partial(
     jax.jit,
     donate_argnames=("cache",),
-    static_argnames=("cfg", "num_steps", "reforge", "attn_impl", "attn_budget"),
+    static_argnames=(
+        "cfg", "num_steps", "reforge", "attn_impl", "attn_budget", "sampling"
+    ),
 )
 def _decode_loop(
     params, cfg: Qwen2VLConfig, cache, first_token, pos_base,
     num_steps: int, reforge: bool, attn_impl: str,
     attn_budget: int | None = None,
+    sampling: Optional[Tuple] = None,
+    rng_key=None,
 ):
-    """Greedy decode entirely on device: one dispatch for all steps.
+    """Decode entirely on device: one dispatch for all steps.
 
     Per-step host round-trips cost ~300 ms each through remote-tunnel TPU
     backends; a scanned loop makes TPOT HBM-bound instead. Steps after EOS
     still run (static trip count) but their tokens are masked to EOS and
-    trimmed by the host.
+    trimmed by the host. Greedy by default; ``sampling`` switches to a
+    seeded sampler (config ``do_sample``).
     """
 
     def body(carry, i):
@@ -176,7 +209,8 @@ def _decode_loop(
             attn_budget=attn_budget,
         )
         logits = text.final_logits(params, cfg, hidden[0])
-        nxt = jnp.argmax(logits).astype(jnp.int32)
+        key = None if sampling is None else jax.random.fold_in(rng_key, i)
+        nxt = _select_token(logits, key, sampling)
         nxt = jnp.where(done, jnp.int32(cfg.eos_token_id), nxt)
         done = done | (nxt == cfg.eos_token_id)
         return (nxt, cache, done), nxt
@@ -238,10 +272,13 @@ def _video_segment_scan(
     return hidden, cache
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _final_token(params, cfg: Qwen2VLConfig, hidden, last_idx):
+@partial(jax.jit, static_argnames=("cfg", "sampling"))
+def _final_token(
+    params, cfg: Qwen2VLConfig, hidden, last_idx,
+    sampling: Optional[Tuple] = None, rng_key=None,
+):
     logits = text.final_logits(params, cfg, hidden[last_idx])
-    return jnp.argmax(logits)
+    return _select_token(logits, rng_key, sampling)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -254,6 +291,16 @@ def _build_embeds(params, cfg: Qwen2VLConfig, input_ids, video_embeds, video_sta
     return emb
 
 
+@jax.jit
+def _scatter_embeds(emb, vision_embeds, start):
+    """Write one contiguous vision-token span (image or video) into the
+    embedding sequence (reference masked_scatter, qwen2_vl.py:633-646 — spans
+    are contiguous per vision block, so a dynamic_update_slice suffices)."""
+    return jax.lax.dynamic_update_slice(
+        emb, vision_embeds.astype(emb.dtype), (start, 0)
+    )
+
+
 @dataclasses.dataclass
 class GenerationResult:
     tokens: np.ndarray  # generated token ids (without the prompt)
@@ -261,6 +308,9 @@ class GenerationResult:
     decode_seconds: float = 0.0
     cache_len: int = 0
     input_len: int = 0
+    # per-stage wall seconds (vision_tower, dpselect, prefill_chunks, ...);
+    # populated when profiling is enabled (RETAKE_PROFILE=1)
+    stages: Optional[dict] = None
 
 
 class Qwen2VLEngine:
@@ -271,16 +321,23 @@ class Qwen2VLEngine:
         cfg: Qwen2VLConfig,
         params,
         retake: RetakeConfig,
+        cache_sharding=None,
     ):
         if retake.scaling_factor:
             cfg = cfg.with_yarn(retake.scaling_factor)
         self.cfg = cfg
         self.params = params
         self.retake = retake
+        # optional KVCache NamedShardings (parallel/mesh.cache_shardings) so
+        # tensor-parallel runs keep the cache sharded over kv heads
+        self.cache_sharding = cache_sharding
         impl = retake.attn_implementation
         self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "flash"
 
     # ---------- vision ----------
+
+    def _vit_dtype(self):
+        return self.params["visual"]["patch_embed"]["w"].dtype
 
     def run_vision(self, pixel_values_videos: np.ndarray, video_grid_thw) -> jax.Array:
         """ViT over the video in frame chunks (reference qwen2_vl.py:597-617).
@@ -290,7 +347,7 @@ class Qwen2VLEngine:
         """
         t, h, w = (int(x) for x in np.asarray(video_grid_thw).reshape(-1)[:3])
         fcs = self.retake.frame_chunk_size or 10**9
-        patches = jnp.asarray(pixel_values_videos, dtype=jnp.bfloat16)
+        patches = jnp.asarray(pixel_values_videos, dtype=self._vit_dtype())
         if t <= fcs:
             return _vit_chunk(self.params, self.cfg, patches, t, h, w)
         hw = h * w
@@ -318,12 +375,32 @@ class Qwen2VLEngine:
         t_factor = vf.spatial_merge_size**2 * vf.temporal_patch_size
         return min(chunk_frames, t) * h * w // t_factor
 
+    def run_vision_images(
+        self, pixel_values: np.ndarray, image_grid_thw
+    ) -> jax.Array:
+        """ViT over still images (reference qwen2_vl.py:593-595): each image
+        is its own (t=1, h, w) grid; embeddings concatenate in input order."""
+        grids = np.asarray(image_grid_thw).reshape(-1, 3)
+        pixels = np.asarray(pixel_values)
+        outs = []
+        off = 0
+        for t, h, w in grids:
+            t, h, w = int(t), int(h), int(w)
+            n = t * h * w
+            chunk = jnp.asarray(pixels[off : off + n], dtype=self._vit_dtype())
+            outs.append(_vit_chunk(self.params, self.cfg, chunk, t, h, w))
+            off += n
+        assert off == pixels.shape[0], (off, pixels.shape)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     def generate(
         self,
         input_ids: np.ndarray,
         pixel_values_videos: Optional[np.ndarray] = None,
         video_grid_thw=None,
         max_new_tokens: Optional[int] = None,
+        pixel_values: Optional[np.ndarray] = None,
+        image_grid_thw=None,
     ) -> GenerationResult:
         import time
 
@@ -337,6 +414,7 @@ class Qwen2VLEngine:
         t0 = time.perf_counter()
         # 1. original position ids (pre-compression; HF computes them first)
         grid = None if video_grid_thw is None else np.asarray(video_grid_thw).reshape(-1, 3)
+        igrid = None if image_grid_thw is None else np.asarray(image_grid_thw).reshape(-1, 3)
         pos, _ = pos_lib.get_rope_index(
             ids,
             spatial_merge_size=cfg.vision.spatial_merge_size,
@@ -344,8 +422,17 @@ class Qwen2VLEngine:
             video_token_id=cfg.video_token_id,
             vision_start_token_id=cfg.vision_start_token_id,
             video_grid_thw=grid,
+            image_grid_thw=igrid,
         )
         decode_pos_base = int(pos.max()) + 1  # reference decode positions
+
+        # image (non-video) inputs: ViT per image, scattered at the image
+        # token spans by prefill_and_decode (reference qwen2_vl.py:593-595,
+        # 633-646); image tokens prefill as text segments (no compression)
+        image_embeds = None
+        if pixel_values is not None:
+            with timer.stage("vision_tower_images"):
+                image_embeds = self.run_vision_images(pixel_values, igrid)
 
         # 2. vision tower + DPSelect
         video_embeds = None
@@ -399,6 +486,8 @@ class Qwen2VLEngine:
             chunk_tokens=chunk_tokens, decode_pos_base=decode_pos_base,
             max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
             timer=timer, t_start=t0,
+            image_embeds=image_embeds, image_token_id=cfg.image_token_id,
+            cache_sharding=self.cache_sharding,
         )
 
 
@@ -418,6 +507,9 @@ def prefill_and_decode(
     attn_impl: str,
     timer,
     t_start: float,
+    image_embeds=None,
+    image_token_id: Optional[int] = None,
+    cache_sharding=None,
 ) -> GenerationResult:
     """Shared chunked-prefill + greedy-decode core (both model families).
 
@@ -504,6 +596,23 @@ def prefill_and_decode(
         None if video_embeds is None else video_embeds,
         jnp.int32(vstart),
     )
+    if image_embeds is not None:
+        # scatter each contiguous image-token span, consuming the
+        # concatenated image embeddings in token order (masked_scatter parity)
+        img_idx = np.flatnonzero(ids == image_token_id)
+        assert len(img_idx) == image_embeds.shape[0], (
+            len(img_idx), image_embeds.shape,
+        )
+        breaks = np.flatnonzero(np.diff(img_idx) > 1)
+        starts = np.concatenate([img_idx[:1], img_idx[breaks + 1]])
+        ends = np.concatenate([img_idx[breaks] + 1, img_idx[-1:] + 1])
+        off = 0
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            n = e0 - s0
+            embeds = _scatter_embeds(
+                embeds, image_embeds[off : off + n], jnp.int32(s0)
+            )
+            off += n
     pos_dev = jnp.asarray(pos_pad)
     kp_dev = jnp.asarray(kp_pad)
 
@@ -511,6 +620,8 @@ def prefill_and_decode(
         cfg.num_hidden_layers, cfg.num_key_value_heads, budget,
         cfg.head_dim, dtype=embeds.dtype,
     )
+    if cache_sharding is not None:
+        kv = jax.device_put(kv, cache_sharding)
 
     # 5. run the plan; consecutive plain video chunks fuse into one scan
     hidden = None
@@ -574,12 +685,28 @@ def prefill_and_decode(
                     last_valid = x["valid"]
                 i = j
 
+    # sampling config (reference forwards do_sample to HF generate,
+    # infer_eval.py:53,110); greedy when do_sample is false
+    sampling = None
+    rng_first = rng_loop = None
+    if rt.do_sample:
+        sampling = (
+            float(getattr(rt, "temperature", 1.0)),
+            float(getattr(rt, "top_p", 1.0)),
+            int(getattr(rt, "top_k", 0)),
+        )
+        base_key = jax.random.key(int(getattr(rt, "seed", 0)))
+        rng_first = jax.random.fold_in(base_key, 0)
+        rng_loop = jax.random.fold_in(base_key, 1)
+
     with timer.stage("first_token"):
-        token = _final_token(params, cfg, hidden, jnp.int32(last_valid - 1))
+        token = _final_token(
+            params, cfg, hidden, jnp.int32(last_valid - 1), sampling, rng_first
+        )
         token_host = int(token)  # prefill ends when first token is ready
     t_prefill = time.perf_counter() - t_start
 
-    # 6. greedy decode: one scanned device loop, trim at EOS on host
+    # 6. decode: one scanned device loop, trim at EOS on host
     t0 = time.perf_counter()
     out_tokens = [token_host]
     if max_new_tokens > 1 and token_host != cfg.eos_token_id:
@@ -589,6 +716,7 @@ def prefill_and_decode(
                 jnp.int32(decode_pos_base), max_new_tokens - 1,
                 reforge, attn_impl,
                 min(attn_bucket(final_len + max_new_tokens), budget),
+                sampling, rng_loop,
             )
             tokens = np.asarray(tokens)
         eos = np.flatnonzero(tokens == cfg.eos_token_id)
@@ -603,4 +731,5 @@ def prefill_and_decode(
         decode_seconds=t_decode,
         cache_len=final_len,
         input_len=s,
+        stages=dict(timer.totals) if timer.totals else None,
     )

@@ -32,7 +32,8 @@ from retake_tpu.utils.config import RetakeConfig
 
 @partial(jax.jit, static_argnames=("vcfg",))
 def _siglip_chunk(params, vcfg, frames_u8):
-    patches = siglip.patchify_frames(frames_u8, vcfg)
+    dtype = params["vision_tower"]["patch_embed"]["w"].dtype
+    patches = siglip.patchify_frames(frames_u8, vcfg, dtype)
     return siglip.siglip_tower(params["vision_tower"], vcfg, patches)
 
 
@@ -101,12 +102,50 @@ class LlavaOnevisionEngine:
             return None
         return min(cf, num_frames) * self.cfg.tokens_per_frame
 
+    def run_vision_images(
+        self, pixel_values: np.ndarray, image_sizes
+    ) -> jax.Array:
+        """Anyres still images (reference llava_onevision.py:383-416).
+
+        pixel_values: [n_images, max_patches, S, S, 3] uint8 tiles (base tile
+        first, then grid tiles row-major); image_sizes: [n, 2] (H, W).
+        Returns the concatenated packed token streams [sum(n_tok_i), d].
+        """
+        from retake_tpu.models.llava_onevision import anyres
+
+        cfg = self.cfg
+        sizes = np.asarray(image_sizes).reshape(-1, 2)
+        outs = []
+        for i, (oh, ow) in enumerate(sizes):
+            n_patch = anyres.image_size_to_num_patches(
+                (int(oh), int(ow)), cfg.image_grid_pinpoints,
+                cfg.vision.image_size,
+            )
+            tiles = jnp.asarray(pixel_values[i][:n_patch])
+            feats = _siglip_chunk(self.params, cfg.vision, tiles)
+            proj = siglip.multi_modal_projector(
+                self.params["projector"], feats
+            )  # [n_patch, grid^2, d] — images are NOT 2x2-pooled (HF parity)
+            outs.append(
+                anyres.pack_image_feature(
+                    proj, (int(oh), int(ow)),
+                    grid_side=cfg.grid_side,
+                    pinpoints=cfg.image_grid_pinpoints,
+                    tile_size=cfg.vision.image_size,
+                    image_newline=self.params["image_newline"],
+                    vision_aspect_ratio=cfg.vision_aspect_ratio,
+                )
+            )
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     def generate(
         self,
         input_ids: np.ndarray,
         pixel_values_videos: Optional[np.ndarray] = None,  # [T,384,384,3] u8
         video_grid_thw=None,  # unused (API symmetry with Qwen2VLEngine)
         max_new_tokens: Optional[int] = None,
+        pixel_values: Optional[np.ndarray] = None,  # [n, p, S, S, 3] u8
+        image_sizes=None,  # [n, 2] (H, W)
     ) -> GenerationResult:
         import time
 
@@ -117,6 +156,11 @@ class LlavaOnevisionEngine:
         max_new_tokens = max_new_tokens or rt.max_new_tokens
         ids = np.asarray(input_ids, dtype=np.int64).reshape(-1)
         t_start = time.perf_counter()
+
+        image_embeds = None
+        if pixel_values is not None:
+            with timer.stage("vision_tower_images"):
+                image_embeds = self.run_vision_images(pixel_values, image_sizes)
 
         video_embeds = None
         keypatch_tokens = np.zeros(len(ids), dtype=bool)
@@ -185,6 +229,7 @@ class LlavaOnevisionEngine:
             chunk_tokens=chunk_tokens, decode_pos_base=s,
             max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
             timer=timer, t_start=t_start,
+            image_embeds=image_embeds, image_token_id=cfg.image_token_id,
         )
 
 

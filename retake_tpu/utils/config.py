@@ -57,6 +57,10 @@ class RetakeConfig:
     longsize_resolution: int = 448
     # generate
     do_sample: bool = False
+    temperature: float = 1.0  # HF LogitsWarper defaults when do_sample=true
+    top_p: float = 1.0
+    top_k: int = 0
+    seed: int = 0  # TPU extension: sampling is seeded/deterministic
     max_new_tokens: int = 128
     output_dir: Optional[str] = None
     # TPU-native extension: weight-only quantization ("int8" | None) — lets
@@ -83,6 +87,10 @@ class RetakeConfig:
             "max_num_frames",
             "longsize_resolution",
             "do_sample",
+            "temperature",
+            "top_p",
+            "top_k",
+            "seed",
             "max_new_tokens",
             "output_dir",
         }

@@ -78,6 +78,59 @@ def test_pallas_kernel_matches_einsum(rng):
         )
 
 
+def test_pallas_kernel_independent_qk_padding(rng):
+    """block_k > block_q with s not a multiple of either block size."""
+    from retake_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+
+    h, kv, s, budget, d = 4, 2, 40, 128, 32
+    q = jnp.asarray(rng.normal(size=(h, s, d)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(kv, budget, d)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    for cache_len, valid in [(0, 40), (70, 40), (128, 25)]:
+        ref = attn.chunk_prefill_attention(
+            q, kc, vc, jnp.int32(cache_len), kn, vn, jnp.int32(valid)
+        )
+        out = flash_prefill_attention(
+            q, kc, vc, jnp.int32(cache_len), kn, vn, jnp.int32(valid),
+            block_q=16, block_k=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :valid], np.asarray(ref)[:, :valid],
+            atol=3e-5,
+        )
+
+
+@pytest.mark.parametrize("block_q", [16, 256])
+def test_pallas_scoring_kernel_matches_oracle(rng, block_q):
+    """pivot_score_sums == ops.pivotkv.eviction_scores."""
+    from retake_tpu.ops import pivotkv
+    from retake_tpu.ops.pallas.pivot_scores import pivot_score_sums
+
+    h, kv, s, d = 4, 2, 44, 32
+    g = h // kv
+    qs = jnp.asarray(rng.normal(size=(h, s, d)), jnp.float32)
+    ks = jnp.asarray(rng.normal(size=(kv, s, d)), jnp.float32)
+    keypatch = jnp.asarray(rng.random(s) < 0.2)
+    for valid in (44, 30, 1):
+        valid_mask = jnp.arange(s) < valid
+        ref_scores = pivotkv.eviction_scores(qs, ks, valid_mask, keypatch)
+        sums = pivot_score_sums(qs, ks, jnp.int32(valid), block_q=block_q)
+        scores = jnp.asarray(sums).sum(axis=0) / (kv * g)
+        scores = jnp.where(keypatch, 1.0, scores)
+        scores = jnp.where(valid_mask, scores, pivotkv.NEG_INF)
+        np.testing.assert_allclose(
+            np.asarray(scores)[:valid], np.asarray(ref_scores)[:valid],
+            atol=3e-5, rtol=1e-5,
+        )
+        # padding keys must stay -inf (never kept by top-k)
+        assert np.all(np.asarray(scores)[valid:] <= NEG_ORACLE)
+
+
+NEG_ORACLE = -1e29
+
+
 def test_decode_appendfree_matches_concat_path(rng):
     h, kv, budget, d = 8, 2, 96, 16
     q = jnp.asarray(rng.normal(size=(h, 1, d)), jnp.float32)

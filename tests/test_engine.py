@@ -143,8 +143,9 @@ def test_compress_keep_all_equals_no_compress(tiny, rng):
 def test_generate_with_pivotkv_compression(tiny, rng):
     """Full retake path: DPSelect keyframe mask + PivotKV + reforge.
 
-    No exact oracle (torch reference targets transformers 4.48 APIs), so this
-    checks the contract: cache length == host plan == max_input_length cap,
+    Token-exactness of the composed loop is covered by the independent numpy
+    oracle (tests/test_composed_oracle.py); this checks the engine-level
+    contract: cache length == host plan == max_input_length cap,
     deterministic output, plausible tokens.
     """
     hf_model, cfg, params = tiny
@@ -179,6 +180,135 @@ def test_generate_with_pivotkv_compression(tiny, rng):
     # cache holds ~ratio * video + text, never more than input length
     assert r1.cache_len < r1.input_len
     assert (r1.tokens >= 0).all() and (r1.tokens < cfg.vocab_size).all()
+
+
+def make_image_inputs(cfg, rng, grids):
+    """Concatenated image patches + [n,3] grids (HF pixel_values layout)."""
+    total = sum(t * h * w for t, h, w in grids)
+    patches = rng.normal(size=(total, cfg.vision.patch_input_dim)).astype(
+        np.float32
+    )
+    return patches, np.asarray(grids, dtype=np.int64)
+
+
+def test_generate_matches_hf_image_only(tiny, rng):
+    """Still-image inputs (reference qwen2_vl.py:593-595, 633-646)."""
+    hf_model, cfg, params = tiny
+    m2 = cfg.vision.spatial_merge_size**2
+    img_pixels, img_grid = make_image_inputs(cfg, rng, [(1, 4, 4)])
+    n_img = 16 // m2
+    ids = np.array(
+        [10, 11] + [cfg.vision_start_token_id]
+        + [cfg.image_token_id] * n_img + [cfg.vision_end_token_id]
+        + [30, 31, 32],
+        dtype=np.int64,
+    )
+    with torch.no_grad():
+        expected = hf_model.generate(
+            input_ids=torch.from_numpy(ids)[None],
+            pixel_values=torch.from_numpy(img_pixels),
+            image_grid_thw=torch.from_numpy(img_grid),
+            do_sample=False, max_new_tokens=6,
+        )[0, len(ids):].numpy()
+    engine = Qwen2VLEngine(cfg, params, RetakeConfig())
+    got = engine.generate(
+        ids, max_new_tokens=6,
+        pixel_values=img_pixels, image_grid_thw=img_grid,
+    )
+    np.testing.assert_array_equal(got.tokens, expected)
+
+
+def test_generate_matches_hf_mixed_image_video_chunked(tiny, rng):
+    """Interleaved image + video + image with chunked prefill: images must
+    ride the text-segment path while the video span chunks."""
+    hf_model, cfg, params = tiny
+    m2 = cfg.vision.spatial_merge_size**2
+    vid_ids, patches, grid = make_video_request(cfg, rng, grid_t=4)
+    img_pixels, img_grid = make_image_inputs(cfg, rng, [(1, 4, 4), (1, 2, 4)])
+    n1, n2 = 16 // m2, 8 // m2
+    ids = np.concatenate([
+        [12, cfg.vision_start_token_id], [cfg.image_token_id] * n1,
+        [cfg.vision_end_token_id],
+        vid_ids,
+        [cfg.vision_start_token_id], [cfg.image_token_id] * n2,
+        [cfg.vision_end_token_id, 40, 41],
+    ]).astype(np.int64)
+    with torch.no_grad():
+        expected = hf_model.generate(
+            input_ids=torch.from_numpy(ids)[None],
+            pixel_values=torch.from_numpy(img_pixels),
+            image_grid_thw=torch.from_numpy(img_grid),
+            pixel_values_videos=torch.from_numpy(patches),
+            video_grid_thw=torch.from_numpy(grid),
+            do_sample=False, max_new_tokens=6,
+        )[0, len(ids):].numpy()
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2, "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    got = engine.generate(
+        ids, patches, grid, max_new_tokens=6,
+        pixel_values=img_pixels, image_grid_thw=img_grid,
+    )
+    np.testing.assert_array_equal(got.tokens, expected)
+
+
+def test_pallas_impl_matches_flash_full_pipeline(tiny, rng):
+    """attn_implementation=pallas (fused eviction scoring in the kernel) must
+    reproduce the flash/XLA path token-for-token through the full retake
+    pipeline, including the final cache state."""
+    _, cfg, params = tiny
+    ids, patches, grid = make_video_request(cfg, rng, grid_t=8, grid_h=4, grid_w=4)
+    base = {
+        "longvideo_kwargs": {
+            "chunked_prefill_frames": 2,
+            "frame_chunk_size": 4,
+            "visual_compression": True,
+            "visual_compression_kwargs": {
+                "compression_ratio": 1.0,
+                "compression_method": "Keyframe",
+                "return_keyframe_mask": True,
+            },
+            "kvcache_compression": True,
+            "kvcache_compression_kwargs": {
+                "dynamic_compression_ratio": True,
+                "compression_method": "pivotkv",
+                "pos_embed_reforge": True,
+                "max_input_length": 24,
+            },
+        }
+    }
+    results = {}
+    for impl in ("flash", "pallas"):
+        d = dict(base, attn_implementation=impl)
+        engine = Qwen2VLEngine(cfg, params, RetakeConfig.from_dict(d))
+        results[impl] = engine.generate(ids, patches, grid, max_new_tokens=5)
+    np.testing.assert_array_equal(
+        results["pallas"].tokens, results["flash"].tokens
+    )
+    assert results["pallas"].cache_len == results["flash"].cache_len
+
+
+def test_do_sample_seeded_deterministic(tiny, rng):
+    """Config do_sample is honored: seeded sampling is deterministic under a
+    fixed seed, and near-zero temperature reproduces greedy (reference
+    forwards do_sample to HF generate, infer_eval.py:53,110)."""
+    hf_model, cfg, params = tiny
+    ids, patches, grid = make_video_request(cfg, rng)
+
+    def run(**kw):
+        engine = Qwen2VLEngine(cfg, params, RetakeConfig(**kw))
+        return engine.generate(ids, patches, grid, max_new_tokens=8).tokens
+
+    greedy = run()
+    s1 = run(do_sample=True, seed=7)
+    s1b = run(do_sample=True, seed=7)
+    np.testing.assert_array_equal(s1, s1b)
+    # near-greedy at tiny temperature
+    cold = run(do_sample=True, temperature=1e-4, seed=3)
+    np.testing.assert_array_equal(cold, greedy)
+    # top_p/top_k paths execute
+    run(do_sample=True, top_p=0.9, top_k=5, seed=1)
 
 
 def test_yarn_scaling_changes_rope_only(tiny, rng):

@@ -114,3 +114,33 @@ def test_eval_harness_end_to_end(fake_benchmark, tmp_path):
     assert os.path.exists(os.path.join(out, "eval_results.csv"))
     assert len(infer_df) == 4
     assert list(eval_df.index) == ["short", "medium", "long", "overall"]
+
+
+def test_prefetch_iter_order_and_overlap():
+    """Background prefetch yields in order and overlaps producer latency
+    with consumer work (reference DataLoader(num_workers), infer_eval.py:184)."""
+    import time
+
+    from retake_tpu.eval.infer_eval import prefetch_iter
+
+    def load(idx):
+        time.sleep(0.03)
+        return idx * 10
+
+    idxs = list(range(12))
+    # serial
+    t0 = time.perf_counter()
+    serial = []
+    for idx, val in prefetch_iter(idxs, load, 0):
+        time.sleep(0.03)  # consumer work (the TPU generate)
+        serial.append((idx, val))
+    t_serial = time.perf_counter() - t0
+    # prefetched
+    t0 = time.perf_counter()
+    fetched = []
+    for idx, val in prefetch_iter(idxs, load, 2):
+        time.sleep(0.03)
+        fetched.append((idx, val))
+    t_prefetch = time.perf_counter() - t0
+    assert fetched == serial == [(i, i * 10) for i in idxs]
+    assert t_prefetch < t_serial * 0.85, (t_prefetch, t_serial)

@@ -144,3 +144,93 @@ def test_llava_retake_path_runs(tiny, rng):
     # visual compression halved the frames; KV compression capped the cache
     assert r1.input_len < len(ids)
     assert r1.cache_len < r1.input_len
+
+
+def _anyres_image(cfg, rng, oh, ow):
+    """Random anyres tiles + ids span length for an (oh, ow) image."""
+    from retake_tpu.models.llava_onevision import anyres
+
+    n_patch = anyres.image_size_to_num_patches(
+        (oh, ow), cfg.image_grid_pinpoints, cfg.vision.image_size
+    )
+    s = cfg.vision.image_size
+    tiles = rng.integers(0, 255, size=(1, n_patch, s, s, 3), dtype=np.uint8)
+    # token count: base tile + unpadded spatial grid + newline per row
+    g = cfg.grid_side
+    nph, npw = anyres.anyres_grid_shape(
+        (oh, ow), cfg.image_grid_pinpoints, cfg.vision.image_size
+    )
+    h0, h1, w0, w1 = anyres.unpad_bounds((oh, ow), (nph * g, npw * g))
+    n_tok = g * g + (h1 - h0) * (w1 - w0 + 1)
+    return tiles, np.array([[oh, ow]]), n_tok
+
+
+@pytest.fixture(scope="module")
+def tiny_anyres(tiny):
+    """Tiny model pair with matching small image_grid_pinpoints."""
+    import dataclasses
+
+    hf_model, cfg, params = tiny
+    pins = ((16, 16), (16, 32), (32, 16), (32, 32))
+    hf_model.config.image_grid_pinpoints = [list(p) for p in pins]
+    cfg = dataclasses.replace(cfg, image_grid_pinpoints=pins)
+    return hf_model, cfg, params
+
+
+def test_llava_image_anyres_matches_hf(tiny_anyres, rng):
+    """Still-image anyres path (reference llava_onevision.py:383-416)."""
+    hf_model, cfg, params = tiny_anyres
+    tiles, sizes, n_tok = _anyres_image(cfg, rng, 20, 35)
+    ids = np.array(
+        [10, 11] + [cfg.image_token_id] * n_tok + [30, 31], dtype=np.int64
+    )
+    px = (tiles[0].astype(np.float32) / 255.0 - 0.5) / 0.5
+    px = torch.from_numpy(px).permute(0, 3, 1, 2)[None]
+    with torch.no_grad():
+        expected = hf_model.generate(
+            input_ids=torch.from_numpy(ids)[None],
+            pixel_values=px,
+            image_sizes=torch.from_numpy(sizes),
+            do_sample=False, max_new_tokens=6,
+        )[0, len(ids):].numpy()
+    engine = LlavaOnevisionEngine(cfg, params, RetakeConfig())
+    got = engine.generate(
+        ids, max_new_tokens=6, pixel_values=tiles, image_sizes=sizes
+    )
+    np.testing.assert_array_equal(got.tokens, expected)
+
+
+def test_llava_mixed_image_video_matches_hf(tiny_anyres, rng):
+    """Image + video in one sequence, chunked video prefill."""
+    hf_model, cfg, params = tiny_anyres
+    tiles, sizes, n_tok = _anyres_image(cfg, rng, 16, 16)  # 1-tile image
+    frames = 4
+    n_vid = frames * cfg.tokens_per_frame + 1
+    vid = rng.integers(
+        0, 255, size=(frames, cfg.vision.image_size, cfg.vision.image_size, 3),
+        dtype=np.uint8,
+    )
+    ids = np.array(
+        [10] + [cfg.image_token_id] * n_tok + [12]
+        + [cfg.video_token_id] * n_vid + [30, 31],
+        dtype=np.int64,
+    )
+    px = (tiles[0].astype(np.float32) / 255.0 - 0.5) / 0.5
+    px = torch.from_numpy(px).permute(0, 3, 1, 2)[None]
+    pv = (vid.astype(np.float32) / 255.0 - 0.5) / 0.5
+    pv = torch.from_numpy(pv).permute(0, 3, 1, 2)[None]
+    with torch.no_grad():
+        expected = hf_model.generate(
+            input_ids=torch.from_numpy(ids)[None],
+            pixel_values=px, image_sizes=torch.from_numpy(sizes),
+            pixel_values_videos=pv,
+            do_sample=False, max_new_tokens=6,
+        )[0, len(ids):].numpy()
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2, "frame_chunk_size": 4}}
+    )
+    engine = LlavaOnevisionEngine(cfg, params, rt)
+    got = engine.generate(
+        ids, vid, max_new_tokens=6, pixel_values=tiles, image_sizes=sizes
+    )
+    np.testing.assert_array_equal(got.tokens, expected)
