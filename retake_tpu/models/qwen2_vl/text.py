@@ -45,21 +45,14 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 def _linear(x, p, bias_key="b"):
     """Linear over a weight dict; dispatches on int8 quantization
     (ops/quantization.py): y = (x @ w_q) * scale, exact since the per-output
-    -channel scale commutes with the contraction.
-
-    Single-token (decode) inputs on quantized weights route through the
-    Pallas fused-dequant matvec: decode is weight-read bound and XLA's
-    lowering of ``x @ w_int8.astype(bf16)`` materializes a bf16 weight copy
-    in HBM (3x the int8 bytes); the kernel streams int8 and converts in-core.
+    -channel scale commutes with the contraction. XLA's int8 dot streams the
+    int8 weights and converts in-core already (a hand-written Pallas
+    fused-dequant matvec measured 2.7x SLOWER at 7B decode — single-row
+    matmuls starve the MXU), so the plain dot is the fast path.
     """
     w = p["w"]
     if "scale" in p:
-        if x.shape[0] == 1 and x.ndim == 2 and w.ndim == 2:
-            from retake_tpu.ops.pallas.int8_matvec import int8_matvec
-
-            y = int8_matvec(x, w, p["scale"])
-        else:
-            y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
+        y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
     else:
         y = x @ w
     b = p.get(bias_key)

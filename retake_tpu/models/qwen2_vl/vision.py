@@ -91,13 +91,15 @@ def _block(vcfg: Qwen2VisionConfig, cos, sin, hidden, bp):
     qkv = x @ bp["qkv"]["w"] + bp["qkv"]["b"]  # [t, hw, 3D]
     q, k, v = jnp.split(qkv.reshape(t, hw, 3, nh, hd), 3, axis=2)
     q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # [t, hw, nh, hd]
-    q = _apply_vision_rope(q, cos, sin)
-    k = _apply_vision_rope(k, cos, sin)
 
-    # full bidirectional attention within each temporal slice, batched over t;
-    # jax.nn.dot_product_attention lets XLA use its fused (flash-style)
-    # attention emitter instead of materializing [t, heads, hw, hw] fp32 probs
-    attn = jax.nn.dot_product_attention(q, k, v).reshape(t, hw, d)
+    # full bidirectional attention within each temporal slice, batched over
+    # (t, head) — Pallas kernel with VMEM-resident [hw, hw] logits and the
+    # 2-D rotary fused in. An XLA einsum materializes the [t, n, hw, hw]
+    # fp32 logits in HBM: measured ~29 ms/layer per 128-frame chunk (~55% of
+    # the whole ViT cost) for <1% of its FLOPs.
+    from retake_tpu.ops.pallas.vit_attention import vit_attention
+
+    attn = vit_attention(q, k, v, cos, sin).reshape(t, hw, d)
     hidden = hidden + (attn @ bp["proj"]["w"] + bp["proj"]["b"])
 
     x2 = _layer_norm(hidden, bp["ln2"]["scale"], bp["ln2"]["bias"])

@@ -46,7 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 DEFAULT_BQ = 256
-DEFAULT_BK = 2048
+# 2048 measured marginally faster at low fill but its k/v double-buffering
+# pushes the 16 MB VMEM budget over the edge at very large cache budgets
+# (the naive full-cache baseline arm, ~158k tokens)
+DEFAULT_BK = 1024
 # compute tile width within a DMA block: bounds the [G*BQ, SUB_K] fp32
 # logit/prob temporaries to ~3.5 MB of VMEM while the grid/DMA block (BK)
 # stays large — fewer grid steps means less dead-step overhead at low cache

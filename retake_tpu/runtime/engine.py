@@ -332,7 +332,7 @@ class Qwen2VLEngine:
         # tensor-parallel runs keep the cache sharded over kv heads
         self.cache_sharding = cache_sharding
         impl = retake.attn_implementation
-        self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "flash"
+        self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "pallas"
 
     # ---------- vision ----------
 

@@ -67,7 +67,7 @@ class LlavaOnevisionEngine:
         self.params = params
         self.retake = retake
         impl = retake.attn_implementation
-        self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "flash"
+        self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "pallas"
 
     def run_vision(self, frames: np.ndarray) -> jax.Array:
         """frames [T, 384, 384, 3] uint8 -> SigLIP features [T, 729, 1152]

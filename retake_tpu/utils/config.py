@@ -39,7 +39,9 @@ class RetakeConfig:
     model_name: str = "qwen2_vl"
     method: str = "retake"
     scaling_factor: Optional[float] = None  # YaRN factor; None = disabled
-    attn_implementation: str = "flash"  # flash (pallas/online-softmax) | xla
+    # pallas (flagship kernel: dead-block skipping + Pallas eviction scoring)
+    # | flash (XLA online-softmax) | xla (masked einsum)
+    attn_implementation: str = "pallas"
     frame_chunk_size: Optional[int] = None  # ViT chunking (grid_t units)
     chunked_prefill_frames: Optional[int] = None  # LLM chunk (raw frames)
     visual_compression: bool = False
@@ -101,8 +103,10 @@ class RetakeConfig:
             "sdpa",
             "eager",
         ):
-            # reference GPU attn impls all map to our fused TPU path
-            kwargs["attn_implementation"] = "flash"
+            # reference GPU attn impls all map to the Pallas TPU kernel
+            # (engine A/B on a v5e: LLM prefill 7.45s vs 9.66s at 2B/2048f;
+            # 5-12x at 7B geometry where XLA flash degrades)
+            kwargs["attn_implementation"] = "pallas"
         return RetakeConfig(
             frame_chunk_size=lv.get("frame_chunk_size"),
             chunked_prefill_frames=lv.get("chunked_prefill_frames"),

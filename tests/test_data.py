@@ -131,7 +131,7 @@ do_sample: false
     assert rt.visual_compression and rt.visual.compression_method == "Keyframe"
     assert rt.kvcache_compression and rt.kv.pos_embed_reforge
     assert rt.kv.max_input_length == 32000
-    assert rt.attn_implementation == "flash"  # GPU impls map to TPU fused path
+    assert rt.attn_implementation == "pallas"  # GPU impls map to the Pallas kernel
     assert rt.compression_ratio_for(64000) == 0.5
     assert rt.compression_ratio_for(1000) == 1.0
 

@@ -61,20 +61,3 @@ def test_engine_runs_quantized(rng):
     q2 = Qwen2VLEngine(cfg, qparams, rt).generate(ids, patches, grid, max_new_tokens=4)
     np.testing.assert_array_equal(q.tokens, q2.tokens)
 
-
-def test_int8_matvec_kernel_matches_xla(rng):
-    """Pallas fused-dequant matvec (decode path) vs plain (x @ w_q) * scale,
-    including non-aligned K/N (padding path)."""
-    from retake_tpu.ops.pallas.int8_matvec import int8_matvec
-
-    for k, n in [(512, 1024), (200, 300), (3584, 18944 // 8)]:
-        x = jnp.asarray(rng.normal(size=(1, k)).astype(np.float32))
-        w = jnp.asarray(
-            rng.integers(-127, 128, size=(k, n)).astype(np.int8)
-        )
-        scale = jnp.asarray(rng.random(n).astype(np.float32) * 0.01)
-        ref = (x @ w.astype(jnp.float32)) * scale
-        out = int8_matvec(x, w, scale)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
-        )
