@@ -32,6 +32,26 @@ CHAT_TEMPLATE = (
 )
 
 
+def preprocess_image(
+    image: np.ndarray,  # [H, W, 3] uint8 (RGB)
+    patch_size: int = 14,
+    merge_size: int = 2,
+    temporal_patch_size: int = 2,
+    min_pixels: int = DEFAULT_MIN_PIXELS,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Still image -> (patches [gh*gw, C*tps*ps*ps], (1, gh, gw)).
+
+    HF Qwen2VLImageProcessor tiles the image ``temporal_patch_size`` times so
+    it flows through the same 3-D patchify as video — identical to a 1-frame
+    video here (preprocess_video repeats the last frame to fill the temporal
+    patch)."""
+    return preprocess_video(
+        [image], patch_size, merge_size, temporal_patch_size,
+        min_pixels, max_pixels,
+    )
+
+
 def smart_resize(
     height: int,
     width: int,
@@ -128,6 +148,7 @@ class Qwen2VLProcessor:
         vision_start_token_id: int = 151652,
         vision_end_token_id: int = 151653,
         video_token_id: int = 151656,
+        image_token_id: int = 151655,
         patch_size: int = 14,
         merge_size: int = 2,
         temporal_patch_size: int = 2,
@@ -138,6 +159,7 @@ class Qwen2VLProcessor:
         self.vision_start_token_id = vision_start_token_id
         self.vision_end_token_id = vision_end_token_id
         self.video_token_id = video_token_id
+        self.image_token_id = image_token_id
         self.patch_size = patch_size
         self.merge_size = merge_size
         self.temporal_patch_size = temporal_patch_size
@@ -154,10 +176,31 @@ class Qwen2VLProcessor:
         self,
         question: str,
         frames: Optional[Sequence[np.ndarray]] = None,
+        images: Optional[Sequence[np.ndarray]] = None,
     ):
-        """Returns dict(input_ids, pixel_values_videos, video_grid_thw)."""
+        """Returns dict(input_ids, pixel_values_videos, video_grid_thw[,
+        pixel_values, image_grid_thw]). Still images precede the video in the
+        prompt (reference content order: vision blocks, then the question)."""
         pixel = grid = None
-        video_ids: List[int] = []
+        vision_ids: List[int] = []
+        img_pixels = img_grids = None
+        if images:
+            flats, grids = [], []
+            for img in images:
+                flat, g = preprocess_image(
+                    img, self.patch_size, self.merge_size,
+                    self.temporal_patch_size, self.min_pixels, self.max_pixels,
+                )
+                flats.append(flat)
+                grids.append(g)
+                n_tok = (g[0] * g[1] * g[2]) // self.merge_size**2
+                vision_ids += (
+                    [self.vision_start_token_id]
+                    + [self.image_token_id] * n_tok
+                    + [self.vision_end_token_id]
+                )
+            img_pixels = np.concatenate(flats, axis=0)
+            img_grids = np.asarray(grids)
         if frames is not None:
             pixel, grid = preprocess_video(
                 frames,
@@ -168,7 +211,7 @@ class Qwen2VLProcessor:
                 self.max_pixels,
             )
             n_tokens = (grid[0] * grid[1] * grid[2]) // self.merge_size**2
-            video_ids = (
+            vision_ids += (
                 [self.vision_start_token_id]
                 + [self.video_token_id] * n_tokens
                 + [self.vision_end_token_id]
@@ -177,13 +220,15 @@ class Qwen2VLProcessor:
         post = post.format(question=question)
         input_ids = (
             list(self.tokenizer.encode(pre))
-            + video_ids
+            + vision_ids
             + list(self.tokenizer.encode(post))
         )
         return {
             "input_ids": np.asarray(input_ids, np.int64),
             "pixel_values_videos": pixel,
             "video_grid_thw": None if grid is None else np.asarray([grid]),
+            "pixel_values": img_pixels,
+            "image_grid_thw": img_grids,
         }
 
     def decode(self, token_ids) -> str:
@@ -207,13 +252,30 @@ class LlavaOnevisionVideoProcessor:
         tokenizer,
         *,
         video_token_id: int = 151647,
+        image_token_id: int = 151646,
         image_size: int = 384,
+        patch_size: int = 14,
         tokens_per_frame: int = 196,
+        image_grid_pinpoints=None,
+        vision_aspect_ratio: str = "anyres_max_9",
     ):
+        from retake_tpu.models.llava_onevision.config import (
+            LlavaOnevisionConfig,
+        )
+
         self.tokenizer = tokenizer
         self.video_token_id = video_token_id
+        self.image_token_id = image_token_id
         self.image_size = image_size
+        self.patch_size = patch_size
         self.tokens_per_frame = tokens_per_frame
+        self.image_grid_pinpoints = tuple(
+            tuple(p) for p in (
+                image_grid_pinpoints
+                or LlavaOnevisionConfig.image_grid_pinpoints
+            )
+        )
+        self.vision_aspect_ratio = vision_aspect_ratio
 
     @staticmethod
     def from_pretrained(path: str, **kwargs) -> "LlavaOnevisionVideoProcessor":
@@ -232,24 +294,54 @@ class LlavaOnevisionVideoProcessor:
         img = Image.fromarray(frame)
         return np.asarray(img.resize((s, s), resample=Image.BICUBIC))
 
-    def __call__(self, question: str, frames=None):
-        video_ids: List[int] = []
+    def __call__(self, question: str, frames=None, images=None):
+        from retake_tpu.models.llava_onevision import anyres
+
+        vision_ids: List[int] = []
         pixels = None
+        img_tiles = img_sizes = None
+        if images:
+            grid_side = self.image_size // self.patch_size
+            tiles_list, sizes = [], []
+            for img in images:
+                tiles, hw = anyres.image_to_anyres_tiles(
+                    img, tile_size=self.image_size,
+                    pinpoints=self.image_grid_pinpoints,
+                )
+                tiles_list.append(tiles)
+                sizes.append(hw)
+                n_tok = anyres.packed_token_count(
+                    hw, grid_side=grid_side,
+                    pinpoints=self.image_grid_pinpoints,
+                    tile_size=self.image_size,
+                    vision_aspect_ratio=self.vision_aspect_ratio,
+                )
+                vision_ids += [self.image_token_id] * n_tok
+            max_p = max(t.shape[0] for t in tiles_list)
+            img_tiles = np.zeros(
+                (len(tiles_list), max_p, self.image_size, self.image_size, 3),
+                np.uint8,
+            )
+            for i, t in enumerate(tiles_list):
+                img_tiles[i, : t.shape[0]] = t
+            img_sizes = np.asarray(sizes)
         if frames is not None:
             pixels = np.stack([self._resize_square(f) for f in frames])
             n = len(frames) * self.tokens_per_frame + 1
-            video_ids = [self.video_token_id] * n
+            vision_ids += [self.video_token_id] * n
         pre, post = CHAT_TEMPLATE.split("{video}")
         post = post.format(question=question)
         input_ids = (
             list(self.tokenizer.encode(pre))
-            + video_ids
+            + vision_ids
             + list(self.tokenizer.encode(post))
         )
         return {
             "input_ids": np.asarray(input_ids, np.int64),
             "pixel_values_videos": pixels,
             "video_grid_thw": None,
+            "pixel_values": img_tiles,
+            "image_sizes": img_sizes,
         }
 
     def decode(self, token_ids) -> str:

@@ -65,6 +65,66 @@ def unpad_bounds(
     return 0, ch, pad, cw - pad
 
 
+def packed_token_count(
+    original_hw,
+    *,
+    grid_side: int,
+    pinpoints,
+    tile_size: int,
+    vision_aspect_ratio: str = "anyres_max_9",
+) -> int:
+    """Token count pack_image_feature will produce for an (h, w) image —
+    shared by the processor (placeholder expansion) and tests."""
+    g = grid_side
+    nph, npw = anyres_grid_shape(original_hw, pinpoints, tile_size)
+    h0, h1, w0, w1 = unpad_bounds(original_hw, (nph * g, npw * g))
+    ch, cw = h1 - h0, w1 - w0
+    max_patches = int(vision_aspect_ratio.removeprefix("anyres_max_"))
+    ratio = math.sqrt(ch * cw / (max_patches * g**2))
+    if ratio > 1.1:
+        ch, cw = int(ch // ratio), int(cw // ratio)
+    return g * g + ch * (cw + 1)
+
+
+def image_to_anyres_tiles(
+    image_u8,  # [H, W, 3] uint8
+    *,
+    tile_size: int,
+    pinpoints,
+):
+    """HF LlavaOnevisionImageProcessor.get_image_patches semantics:
+    [base resized to (S, S)] + aspect-preserving resize to the best-fit
+    resolution, centered zero padding, row-major SxS tiles.
+
+    Returns (tiles [n_patch, S, S, 3] uint8, (h, w)).
+    """
+    import numpy as np
+    from PIL import Image
+
+    h, w = image_u8.shape[:2]
+    bh, bw = select_best_resolution((h, w), pinpoints)
+    # get_patch_output_size: fit inside (bh, bw), ceil on the minor axis
+    scale_w, scale_h = bw / w, bh / h
+    if scale_w < scale_h:
+        nw, nh = bw, min(math.ceil(h * scale_w), bh)
+    else:
+        nh, nw = bh, min(math.ceil(w * scale_h), bw)
+    img = Image.fromarray(image_u8)
+    resized = np.asarray(img.resize((nw, nh), resample=Image.BICUBIC))
+    pad_y, r_y = divmod(bh - nh, 2)
+    pad_x, r_x = divmod(bw - nw, 2)
+    padded = np.zeros((bh, bw, 3), np.uint8)
+    padded[pad_y : pad_y + nh, pad_x : pad_x + nw] = resized
+    s = tile_size
+    tiles = [
+        padded[i : i + s, j : j + s]
+        for i in range(0, bh, s)
+        for j in range(0, bw, s)
+    ]
+    base = np.asarray(img.resize((s, s), resample=Image.BICUBIC))
+    return np.stack([base] + tiles), (h, w)
+
+
 def pack_image_feature(
     feature: jax.Array,  # [num_patches, tokens_per_tile, d] projected
     original_hw: Tuple[int, int],

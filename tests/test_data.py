@@ -245,3 +245,153 @@ def test_reforge_after_visual_compression_semantics():
     np.testing.assert_array_equal(new_pos[0], [0, 1, 2, 2, 3, 4])
     np.testing.assert_array_equal(new_pos[1], [0, 1, 2, 2, 3, 4])
     np.testing.assert_array_equal(new_pos[2], [0, 1, 2, 3, 3, 4])
+
+
+def test_preprocess_image_matches_hf(rng):
+    transformers = pytest.importorskip("transformers")
+    from transformers import Qwen2VLImageProcessor
+
+    img = rng.integers(0, 255, size=(130, 210, 3), dtype=np.uint8)
+    hf_proc = Qwen2VLImageProcessor()
+    hf_out = hf_proc(images=[img], return_tensors="np")
+    pixel, grid = proc_lib.preprocess_image(img)
+    np.testing.assert_array_equal(np.asarray([grid]), hf_out["image_grid_thw"])
+    np.testing.assert_allclose(pixel, hf_out["pixel_values"], atol=2e-3)
+
+
+def test_llava_anyres_tiles_match_hf(rng):
+    """image_to_anyres_tiles vs the HF LlavaOnevisionImageProcessor
+    (reference relies on AutoProcessor for anyres tiling)."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import LlavaOnevisionImageProcessor
+
+    from retake_tpu.models.llava_onevision import anyres
+
+    pins = [[384, 384], [384, 768], [768, 384], [768, 768]]
+    # SigLIP checkpoints ship 0.5/0.5 normalization in preprocessor_config
+    # (the HF class default is CLIP mean/std); ours normalizes on device
+    hf_proc = LlavaOnevisionImageProcessor(
+        size={"height": 384, "width": 384}, image_grid_pinpoints=pins,
+        image_mean=[0.5] * 3, image_std=[0.5] * 3,
+    )
+    for h, w in [(300, 500), (384, 384), (900, 400)]:
+        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        hf_out = hf_proc(images=[img], return_tensors="np")
+        tiles, hw = anyres.image_to_anyres_tiles(
+            img, tile_size=384, pinpoints=[tuple(p) for p in pins]
+        )
+        assert hw == (h, w)
+        # HF returns normalized CHW float; ours returns raw uint8 tiles that
+        # the device normalizes with the same (0.5, 0.5) mean/std
+        ours = (tiles.astype(np.float32) / 255.0 - 0.5) / 0.5
+        ours = ours.transpose(0, 3, 1, 2)
+        hf_px = hf_out["pixel_values"][0]  # [n_patch(+pad), 3, 384, 384]
+        np.testing.assert_allclose(ours, hf_px[: len(ours)], atol=2e-3)
+        # any HF padding tail must be zeros (we pad identically)
+        assert np.abs(hf_px[len(ours):]).max(initial=0.0) <= 1.0 + 1e-6
+
+
+class _StubTok:
+    def encode(self, s):
+        return [20 + (b % 400) for b in s.encode()][:32]
+
+    def decode(self, ids, **kw):
+        return "x"
+
+
+def test_qwen_processor_images_end_to_end(rng):
+    """Processor image path feeds the engine: placeholder counts match the
+    ViT token production for mixed image + video."""
+    import jax.numpy as jnp
+
+    from retake_tpu.models.qwen2_vl import params as params_lib
+    from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
+    from retake_tpu.runtime.engine import Qwen2VLEngine
+    from retake_tpu.utils.config import RetakeConfig
+
+    cfg = TINY_TEST_CONFIG
+    v = cfg.vision
+    proc = proc_lib.Qwen2VLProcessor(
+        _StubTok(),
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        video_token_id=cfg.video_token_id,
+        image_token_id=cfg.image_token_id,
+        patch_size=v.patch_size,
+        merge_size=v.spatial_merge_size,
+        temporal_patch_size=v.temporal_patch_size,
+        min_pixels=v.patch_size * v.spatial_merge_size * 56,
+        max_pixels=56 * 56 * 99,
+    )
+    frames = [
+        rng.integers(0, 255, size=(56, 56, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    images = [
+        rng.integers(0, 255, size=(56, 84, 3), dtype=np.uint8),
+        rng.integers(0, 255, size=(84, 56, 3), dtype=np.uint8),
+    ]
+    out = proc("what?", frames, images=images)
+    assert out["pixel_values"] is not None
+    assert out["image_grid_thw"].shape == (2, 3)
+    n_img_tok = int((out["input_ids"] == cfg.image_token_id).sum())
+    assert n_img_tok == out["image_grid_thw"].prod(axis=1).sum() // 4
+
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+    engine = Qwen2VLEngine(cfg, params, RetakeConfig())
+    r = engine.generate(
+        out["input_ids"], out["pixel_values_videos"], out["video_grid_thw"],
+        max_new_tokens=3,
+        pixel_values=out["pixel_values"], image_grid_thw=out["image_grid_thw"],
+    )
+    assert len(r.tokens) >= 1
+
+
+def test_llava_processor_images_end_to_end(rng):
+    import jax.numpy as jnp
+
+    from retake_tpu.models.llava_onevision import params as lparams
+    from retake_tpu.models.llava_onevision.config import (
+        LlavaOnevisionConfig,
+        SiglipVisionConfig,
+    )
+    from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+    from retake_tpu.runtime.llava_engine import LlavaOnevisionEngine
+    from retake_tpu.utils.config import RetakeConfig
+
+    cfg = LlavaOnevisionConfig(
+        text=Qwen2VLConfig(
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, mrope_section=None,
+        ),
+        vision=SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=16, patch_size=4,
+        ),
+        image_token_id=5, video_token_id=6,
+        image_grid_pinpoints=((16, 16), (16, 32), (32, 16), (32, 32)),
+    )
+    proc = proc_lib.LlavaOnevisionVideoProcessor(
+        _StubTok(),
+        video_token_id=cfg.video_token_id,
+        image_token_id=cfg.image_token_id,
+        image_size=cfg.vision.image_size,
+        patch_size=cfg.vision.patch_size,
+        tokens_per_frame=cfg.tokens_per_frame,
+        image_grid_pinpoints=cfg.image_grid_pinpoints,
+    )
+    frames = [
+        rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    images = [rng.integers(0, 255, size=(20, 30, 3), dtype=np.uint8)]
+    out = proc("what?", frames, images=images)
+    params = lparams.init_params(cfg, seed=0, dtype=jnp.float32)
+    engine = LlavaOnevisionEngine(cfg, params, RetakeConfig())
+    r = engine.generate(
+        out["input_ids"], out["pixel_values_videos"],
+        max_new_tokens=3,
+        pixel_values=out["pixel_values"], image_sizes=out["image_sizes"],
+    )
+    assert len(r.tokens) >= 1
