@@ -88,18 +88,22 @@ def _block(vcfg: Qwen2VisionConfig, cos, sin, hidden, bp):
     nh, hd = vcfg.num_heads, vcfg.head_dim
 
     x = _layer_norm(hidden, bp["ln1"]["scale"], bp["ln1"]["bias"])
-    qkv = x @ bp["qkv"]["w"] + bp["qkv"]["b"]  # [t, hw, 3D]
-    q, k, v = jnp.split(qkv.reshape(t, hw, 3, nh, hd), 3, axis=2)
-    q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # [t, hw, nh, hd]
+    # reorder the qkv projection columns HEAD-MAJOR ([q_h|k_h|v_h] per head)
+    # so the attention kernel gets lane-contiguous per-head blocks without
+    # transposing the [t, hw, *] activations (weight relayout is ~40x
+    # smaller than one activation transpose and XLA CSEs it per layer)
+    wq = bp["qkv"]["w"].reshape(d, 3, nh, hd).swapaxes(1, 2).reshape(d, -1)
+    bq = bp["qkv"]["b"].reshape(3, nh, hd).swapaxes(0, 1).reshape(-1)
+    qkv = x @ wq + bq  # [t, hw, N*3*D] head-major
 
-    # full bidirectional attention within each temporal slice, batched over
-    # (t, head) — Pallas kernel with VMEM-resident [hw, hw] logits and the
-    # 2-D rotary fused in. An XLA einsum materializes the [t, n, hw, hw]
-    # fp32 logits in HBM: measured ~29 ms/layer per 128-frame chunk (~55% of
-    # the whole ViT cost) for <1% of its FLOPs.
-    from retake_tpu.ops.pallas.vit_attention import vit_attention
+    # full bidirectional attention within each temporal slice — Pallas
+    # kernel with VMEM-resident [hw, hw] logits and the 2-D rotary fused in.
+    # An XLA einsum materializes the [t, n, hw, hw] fp32 logits in HBM:
+    # measured ~29 ms/layer per 128-frame chunk (~55% of the whole ViT cost)
+    # for <1% of its FLOPs; q/k/v head transposes cost another ~6 ms/layer.
+    from retake_tpu.ops.pallas.vit_attention import vit_attention_qkv
 
-    attn = vit_attention(q, k, v, cos, sin).reshape(t, hw, d)
+    attn = vit_attention_qkv(qkv.reshape(t, hw, nh, 3, hd), cos, sin)
     hidden = hidden + (attn @ bp["proj"]["w"] + bp["proj"]["b"])
 
     x2 = _layer_norm(hidden, bp["ln2"]["scale"], bp["ln2"]["bias"])

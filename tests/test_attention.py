@@ -150,20 +150,19 @@ def test_decode_appendfree_matches_concat_path(rng):
         )
 
 
-def test_vit_attention_kernel_matches_einsum(rng):
-    """Pallas ViT attention (fused 2-D rotary) vs rope + einsum reference."""
+def test_vit_attention_qkv_kernel_matches_einsum(rng):
+    """Fused-qkv-layout ViT attention kernel vs rope + einsum reference."""
     import jax
 
     from retake_tpu.models.qwen2_vl.vision import _apply_vision_rope
-    from retake_tpu.ops.pallas.vit_attention import vit_attention
+    from retake_tpu.ops.pallas.vit_attention import vit_attention_qkv
 
     t, s, n, d = 3, 24, 4, 16
-    q = jnp.asarray(rng.normal(size=(t, s, n, d)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(t, s, n, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(t, s, n, d)), jnp.float32)
+    qkv = jnp.asarray(rng.normal(size=(t, s, n, 3, d)), jnp.float32)
     ang = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
     cos, sin = jnp.cos(ang), jnp.sin(ang)
 
+    q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
     qr = _apply_vision_rope(q, cos, sin)
     kr = _apply_vision_rope(k, cos, sin)
     logits = jnp.einsum(
@@ -172,7 +171,8 @@ def test_vit_attention_kernel_matches_einsum(rng):
     probs = jax.nn.softmax(logits, axis=-1)
     ref = jnp.einsum("tnsk,tknd->tsnd", probs, v)
 
-    out = vit_attention(q, k, v, cos, sin)
+    out = vit_attention_qkv(qkv, cos, sin)  # [t, s, n*d]
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+        np.asarray(out), np.asarray(ref).reshape(t, s, n * d),
+        atol=3e-5, rtol=1e-4,
     )
