@@ -67,11 +67,16 @@ def main():
     rt = RetakeConfig.from_yaml(args.config)
 
     if args.random_weights or not args.hf_path:
+        from retake_tpu.models.qwen2_vl.config import Qwen2VisionConfig
+
         print("== random-weights smoke mode (no checkpoint) ==")
         cfg = Qwen2VLConfig(
             vocab_size=151936, hidden_size=1536, intermediate_size=8960,
             num_hidden_layers=28, num_attention_heads=12,
             num_key_value_heads=2, tie_word_embeddings=True,
+            # the merger must emit the 2B text width (the default vision
+            # config targets the 7B model's 3584)
+            vision=Qwen2VisionConfig(hidden_size=1536),
         )
         params = params_lib.init_params(cfg, seed=0)
         processor = Qwen2VLProcessor(_StubTokenizer())

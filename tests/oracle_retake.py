@@ -64,6 +64,9 @@ class RetakeOracle:
         emb = np.concatenate([freqs, freqs], axis=-1)  # [3, S, hd]
         cos = np.cos(emb) * self.attn_scaling
         sin = np.sin(emb) * self.attn_scaling
+        if self.cfg.mrope_section is None:
+            # 1-D RoPE (LLaVA-OneVision Qwen2 decoder): row 0 is the position
+            return cos[0], sin[0]
         sec = list(self.cfg.mrope_section) * 2
         pieces_c, pieces_s, off = [], [], 0
         for i, s in enumerate(sec):

@@ -66,20 +66,29 @@ def _request(cfg, rng, n_video=64, grid=(8, 8, 4), prompt_len=6):
 
 
 @pytest.mark.parametrize(
-    "ratio,reforge,prompt_guided,attn_impl",
+    "ratio,reforge,prompt_guided,attn_impl,mrope",
     [
-        (0.5, True, False, "xla"),
-        (0.5, True, True, "xla"),
-        (0.5, False, False, "xla"),
-        (0.4, True, True, "flash"),
-        (0.5, True, False, "pallas"),  # fused-scoring kernel path
+        (0.5, True, False, "xla", True),
+        (0.5, True, True, "xla", True),
+        (0.5, False, False, "xla", True),
+        (0.4, True, True, "flash", True),
+        (0.5, True, False, "pallas", True),  # Pallas scoring kernel path
+        (0.5, True, True, "pallas", False),  # 1-D RoPE (LLaVA-style decoder)
     ],
 )
 def test_composed_path_token_exact(
-    tiny_text, rng, ratio, reforge, prompt_guided, attn_impl
+    tiny_text, rng, ratio, reforge, prompt_guided, attn_impl, mrope
 ):
     cfg, params, params_np = tiny_text
+    if not mrope:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, mrope_section=None)
     ids, pos, keypatch, video_embeds = _request(cfg, rng)
+    if not mrope:  # 1-D positions: plain arange broadcast over the 3 rows
+        pos = np.broadcast_to(
+            np.arange(len(ids), dtype=np.int32), (3, len(ids))
+        ).copy()
     chunk_tokens = 16
     max_new = 6
     decode_pos_base = int(pos.max()) + 1
