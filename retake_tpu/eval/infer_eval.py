@@ -67,10 +67,14 @@ def _load_engine(model_name, hf_path, rt):
     if name == "qwen2vl":
         cfg = Qwen2VLConfig.from_pretrained(hf_path)
         params = params_lib.load_safetensors(hf_path, cfg)
-        if rt.quantization == "int8":
+        if rt.quantization in ("int8", "w8a8"):
             from retake_tpu.ops.quantization import quantize_llm_int8
 
             params = quantize_llm_int8(params)
+        if rt.quantization == "w8a8":
+            from retake_tpu.ops.quantization import quantize_vit_int8
+
+            params["visual"] = quantize_vit_int8(params["visual"])
         return Qwen2VLEngine(cfg, params, rt)
     if name in ("llavaonevision", "llavavideo"):
         from retake_tpu.runtime.llava_engine import load_llava_engine

@@ -28,7 +28,8 @@ from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
 
 
 def init_params(
-    cfg: Qwen2VLConfig, seed: int = 0, dtype=jnp.bfloat16, quantize_int8=False
+    cfg: Qwen2VLConfig, seed: int = 0, dtype=jnp.bfloat16, quantize_int8=False,
+    quantize_vit_int8=False,
 ) -> dict:
     """Random parameters (tests / benchmarks with reference geometry).
 
@@ -45,13 +46,16 @@ def init_params(
     def _build():
         # direct int8 generation: quantizing a materialized bf16 7B tree
         # would need ~17 GB transients and OOM a 16 GB chip
-        return _init_params_traced(cfg, seed, dtype, quantize_int8)
+        return _init_params_traced(
+            cfg, seed, dtype, quantize_int8, quantize_vit_int8
+        )
 
     return _build()
 
 
 def _init_params_traced(
-    cfg: Qwen2VLConfig, seed: int, dtype, quantize_int8: bool = False
+    cfg: Qwen2VLConfig, seed: int, dtype, quantize_int8: bool = False,
+    quantize_vit_int8: bool = False,
 ) -> dict:
     import jax
 
@@ -96,6 +100,20 @@ def _init_params_traced(
         "up": qw(l, d, m),
         "down": qw(l, m, d),
     }
+    def vqw(*shape):
+        """ViT linear leaf: int8 {w, scale} under quantize_vit_int8 (W8A8),
+        raw bf16 array otherwise."""
+        if not quantize_vit_int8:
+            return {"w": w(*shape)}
+        sigma = 1.0 / np.sqrt(shape[-2])
+        key_stream[0], sub = jax.random.split(key_stream[0])
+        return {
+            "w": jax.random.randint(sub, shape, -127, 128, jnp.int8),
+            "scale": jnp.full(
+                shape[:-2] + shape[-1:], sigma / 73.0, jnp.float32
+            ),
+        }
+
     v = cfg.vision
     vd, vl, vm = v.embed_dim, v.depth, v.embed_dim * v.mlp_ratio
     merged = vd * v.spatial_merge_size**2
@@ -103,16 +121,16 @@ def _init_params_traced(
         "patch_embed": {"w": w(v.patch_input_dim, vd)},
         "blocks": {
             "ln1": {"scale": ones(vl, vd), "bias": zeros(vl, vd)},
-            "qkv": {"w": w(vl, vd, 3 * vd), "b": zeros(vl, 3 * vd)},
-            "proj": {"w": w(vl, vd, vd), "b": zeros(vl, vd)},
+            "qkv": {**vqw(vl, vd, 3 * vd), "b": zeros(vl, 3 * vd)},
+            "proj": {**vqw(vl, vd, vd), "b": zeros(vl, vd)},
             "ln2": {"scale": ones(vl, vd), "bias": zeros(vl, vd)},
-            "fc1": {"w": w(vl, vd, vm), "b": zeros(vl, vm)},
-            "fc2": {"w": w(vl, vm, vd), "b": zeros(vl, vd)},
+            "fc1": {**vqw(vl, vd, vm), "b": zeros(vl, vm)},
+            "fc2": {**vqw(vl, vm, vd), "b": zeros(vl, vd)},
         },
         "merger": {
             "ln_q": {"scale": ones(vd), "bias": zeros(vd)},
-            "fc1": {"w": w(merged, merged), "b": zeros(merged)},
-            "fc2": {"w": w(merged, v.hidden_size), "b": zeros(v.hidden_size)},
+            "fc1": {**vqw(merged, merged), "b": zeros(merged)},
+            "fc2": {**vqw(merged, v.hidden_size), "b": zeros(v.hidden_size)},
         },
     }
     if quantize_int8:

@@ -42,17 +42,26 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return weight * normed
 
 
-def _linear(x, p, bias_key="b"):
+def _linear(x, p, bias_key="b", act_int8=False):
     """Linear over a weight dict; dispatches on int8 quantization
     (ops/quantization.py): y = (x @ w_q) * scale, exact since the per-output
     -channel scale commutes with the contraction. XLA's int8 dot streams the
     int8 weights and converts in-core already (a hand-written Pallas
     fused-dequant matvec measured 2.7x SLOWER at 7B decode — single-row
     matmuls starve the MXU), so the plain dot is the fast path.
+
+    ``act_int8`` (W8A8 mode, prefill only): also quantize the activations
+    per-token and run the dot int8 x int8 -> int32 on the MXU's double-rate
+    int8 path (ops/quantization.int8_linear).
     """
     w = p["w"]
     if "scale" in p:
-        y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
+        if act_int8:
+            from retake_tpu.ops.quantization import int8_linear
+
+            y = int8_linear(x, w, p["scale"])
+        else:
+            y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
     else:
         y = x @ w
     b = p.get(bias_key)
@@ -79,6 +88,7 @@ def _layer(
     reforge: bool,
     attn_impl: str,
     attn_budget,
+    act_quant: bool,
     carry,
     xs,
 ):
@@ -98,9 +108,9 @@ def _layer(
     s = hidden.shape[0]
 
     x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
-    q = _heads(_linear(x, lp["q"]), n_heads, h_dim)
-    k = _heads(_linear(x, lp["k"]), kv_heads, h_dim)
-    v = _heads(_linear(x, lp["v"]), kv_heads, h_dim)
+    q = _heads(_linear(x, lp["q"], act_int8=act_quant), n_heads, h_dim)
+    k = _heads(_linear(x, lp["k"], act_int8=act_quant), kv_heads, h_dim)
+    v = _heads(_linear(x, lp["v"], act_int8=act_quant), kv_heads, h_dim)
 
     # Per-layer temporal rebase (reference discontinuity fix, qwen2_vl.py:67-73):
     # continue this layer's cached temporal ids contiguously.
@@ -177,11 +187,15 @@ def _layer(
         attn_out = attn_ops.chunk_prefill_attention(
             q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
         )
-    hidden = hidden + _linear(_unheads(attn_out), lp["o"])
+    hidden = hidden + _linear(_unheads(attn_out), lp["o"], act_int8=act_quant)
 
     x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(_linear(x2, lp["gate"]))
-    mlp = _linear(gate * _linear(x2, lp["up"]), lp["down"])
+    gate = jax.nn.silu(_linear(x2, lp["gate"], act_int8=act_quant))
+    mlp = _linear(
+        gate * _linear(x2, lp["up"], act_int8=act_quant),
+        lp["down"],
+        act_int8=act_quant,
+    )
     hidden = hidden + mlp
 
     # --- cache block for this layer
@@ -239,11 +253,14 @@ def decoder_chunk(
     reforge: bool,
     attn_impl: str = "xla",
     attn_budget: int | None = None,
+    act_quant: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run one chunk through all layers; returns (hidden_out, updated cache).
 
     ``attn_budget``: static prefix of the cache buffer this chunk may attend
     to (must be >= the runtime cache_len when the chunk runs); None = full.
+    ``act_quant``: W8A8 — run the seven decoder linears int8 x int8 on the
+    MXU (requires int8-quantized weights; see ops/quantization.py).
     """
     inv_freq_np, attention_scaling = cfg.rope_params()
     inv_freq = jnp.asarray(inv_freq_np)
@@ -251,7 +268,7 @@ def decoder_chunk(
     def body(carry, xs):
         return _layer(
             cfg, inv_freq, attention_scaling, compress, reforge, attn_impl,
-            attn_budget, carry, xs,
+            attn_budget, act_quant, carry, xs,
         )
 
     carry0 = (hidden, pos3, valid_len, keypatch, keep_len, cache.length)

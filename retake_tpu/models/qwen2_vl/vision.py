@@ -82,7 +82,22 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _block(vcfg: Qwen2VisionConfig, cos, sin, hidden, bp):
+def _vlinear(x, p, act_int8):
+    """ViT linear over a {'w'[, 'scale'], 'b'} dict; same int8 dispatch as
+    the text stack (models/qwen2_vl/text.py:_linear)."""
+    if "scale" in p:
+        if act_int8:
+            from retake_tpu.ops.quantization import int8_linear
+
+            y = int8_linear(x, p["w"], p["scale"])
+        else:
+            y = (x @ p["w"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["w"]
+    return y + p["b"] if "b" in p else y
+
+
+def _block(vcfg: Qwen2VisionConfig, cos, sin, hidden, bp, act_quant: bool):
     """One ViT block over [t, hw, D]."""
     t, hw, d = hidden.shape
     nh, hd = vcfg.num_heads, vcfg.head_dim
@@ -94,7 +109,12 @@ def _block(vcfg: Qwen2VisionConfig, cos, sin, hidden, bp):
     # smaller than one activation transpose and XLA CSEs it per layer)
     wq = bp["qkv"]["w"].reshape(d, 3, nh, hd).swapaxes(1, 2).reshape(d, -1)
     bq = bp["qkv"]["b"].reshape(3, nh, hd).swapaxes(0, 1).reshape(-1)
-    qkv = x @ wq + bq  # [t, hw, N*3*D] head-major
+    qkv_p = {"w": wq, "b": bq}
+    if "scale" in bp["qkv"]:  # per-output-channel scale follows the reorder
+        qkv_p["scale"] = (
+            bp["qkv"]["scale"].reshape(3, nh, hd).swapaxes(0, 1).reshape(-1)
+        )
+    qkv = _vlinear(x, qkv_p, act_quant)  # [t, hw, N*3*D] head-major
 
     # full bidirectional attention within each temporal slice — Pallas
     # kernel with VMEM-resident [hw, hw] logits and the 2-D rotary fused in.
@@ -104,11 +124,11 @@ def _block(vcfg: Qwen2VisionConfig, cos, sin, hidden, bp):
     from retake_tpu.ops.pallas.vit_attention import vit_attention_qkv
 
     attn = vit_attention_qkv(qkv.reshape(t, hw, nh, 3, hd), cos, sin)
-    hidden = hidden + (attn @ bp["proj"]["w"] + bp["proj"]["b"])
+    hidden = hidden + _vlinear(attn, bp["proj"], act_quant)
 
     x2 = _layer_norm(hidden, bp["ln2"]["scale"], bp["ln2"]["bias"])
-    mlp = _quick_gelu(x2 @ bp["fc1"]["w"] + bp["fc1"]["b"])
-    mlp = mlp @ bp["fc2"]["w"] + bp["fc2"]["b"]
+    mlp = _quick_gelu(_vlinear(x2, bp["fc1"], act_quant))
+    mlp = _vlinear(mlp, bp["fc2"], act_quant)
     return hidden + mlp
 
 
@@ -119,10 +139,12 @@ def vision_tower(
     grid_t: int,
     grid_h: int,
     grid_w: int,
+    act_quant: bool = False,
 ) -> jax.Array:
     """Full tower: patch embed -> scanned blocks -> 2x2 merger.
 
     Returns LLM-space video embeddings [t * hw / merge^2, out_hidden].
+    ``act_quant``: W8A8 block/merger linears (int8 weights required).
     """
     hw = grid_h * grid_w
     d = vcfg.embed_dim
@@ -133,7 +155,7 @@ def vision_tower(
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
     def body(hidden, bp):
-        return _block(vcfg, cos, sin, hidden, bp), None
+        return _block(vcfg, cos, sin, hidden, bp, act_quant), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
@@ -141,5 +163,5 @@ def vision_tower(
     mp = params["merger"]
     x = _layer_norm(x, mp["ln_q"]["scale"], mp["ln_q"]["bias"])
     x = x.reshape(grid_t * hw // m2, m2 * d)
-    x = jax.nn.gelu(x @ mp["fc1"]["w"] + mp["fc1"]["b"], approximate=False)
-    return x @ mp["fc2"]["w"] + mp["fc2"]["b"]
+    x = jax.nn.gelu(_vlinear(x, mp["fc1"], act_quant), approximate=False)
+    return _vlinear(x, mp["fc2"], act_quant)

@@ -1,15 +1,27 @@
-"""Weight-only int8 quantization (per-output-channel symmetric).
+"""int8 quantization: weight-only (exact dequant) and W8A8 (int8 MXU path).
 
 TPU-native capability beyond the reference (which needs >=24 GB GPUs for the
-7B models): int8 weights halve HBM at rest and in the decode-critical weight
-reads, letting Qwen2-VL-7B (16.6 GB bf16) fit one 16 GB v5e chip. Matmuls
-dequantize on the fly — ``(x @ w_q) * scale`` commutes with the per-column
-scale, so results match ``x @ (w_q * scale)`` exactly; XLA converts int8
-operand tiles to bf16 as it feeds the MXU inside the fused dot.
+7B models). Two modes:
+
+* **Weight-only** (``quantization: int8``): int8 weights halve HBM at rest
+  and in the decode-critical weight reads, letting Qwen2-VL-7B (16.6 GB
+  bf16) fit one 16 GB v5e chip. Matmuls dequantize on the fly —
+  ``(x @ w_q) * scale`` commutes with the per-column scale, so results match
+  ``x @ (w_q * scale)`` exactly; XLA converts int8 operand tiles to bf16 as
+  it feeds the MXU inside the fused dot.
+* **W8A8** (``quantization: w8a8``): additionally quantizes *activations*
+  per-row (per-token symmetric) at prefill so the dot runs int8 x int8 ->
+  int32 on the MXU's double-rate int8 path. Measured on this v5e
+  (tools/int8_matmul_bench.py, 8k^3): 279 TOP/s int8 vs 153 TF/s bf16;
+  the full dynamic-quant linear sustains 241 TOP/s (1.57x bf16) including
+  quantize/dequant. Lossy (~8-bit activation rounding) — opt-in; decode
+  keeps the exact weight-only path (single-row matmuls are HBM-bound, the
+  int8 MXU rate does not help them).
 
 A quantized linear is represented as {'w': int8 [.., in, out],
 'scale': f32 [.., out]}; unquantized ones stay {'w': bf16 array}. The layer
-code (models/*/text.py) dispatches on the presence of 'scale'.
+code (models/*/text.py, models/*/vision.py) dispatches on the presence of
+'scale'.
 """
 
 from __future__ import annotations
@@ -36,7 +48,35 @@ def quantize_embedding(e: jax.Array) -> dict:
     return {"w": q, "scale": scale[:, 0]}
 
 
+def quantize_acts(x: jax.Array):
+    """Dynamic per-row symmetric int8 activation quantization.
+
+    Returns (x_q int8, scale f32 [.., 1]); rows are the token axis, so each
+    token gets its own scale (robust to per-token magnitude variation).
+    """
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_linear(x: jax.Array, w_q: jax.Array, w_scale: jax.Array) -> jax.Array:
+    """W8A8 linear: dynamic-quantize x, int8 dot on the MXU, dequantize.
+
+    x [.., S, in] (any float dtype), w_q int8 [in, out], w_scale f32 [out].
+    The int32 accumulator is exact; the only loss is the 8-bit rounding of x.
+    """
+    xq, xs = quantize_acts(x)
+    acc = jax.lax.dot_general(
+        xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xs * w_scale).astype(x.dtype)
+
+
 _LINEAR_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+_VIT_BLOCK_KEYS = ("qkv", "proj", "fc1", "fc2")
 
 
 def quantize_llm_int8(params: dict) -> dict:
@@ -64,6 +104,37 @@ def quantize_llm_int8(params: dict) -> dict:
         return out
 
     return _quant(params)
+
+
+def quantize_vit_int8(visual: dict) -> dict:
+    """Quantize the Qwen2-VL vision-tower block + merger linears (W8A8 mode).
+
+    patch_embed stays bf16 (first layer sees raw pixel statistics and is
+    <1% of the tower's FLOPs); layer norms and biases stay bf16.
+    """
+
+    @jax.jit
+    def _quant(p):
+        out = dict(p)
+        blocks = dict(p["blocks"])
+        for key in _VIT_BLOCK_KEYS:
+            lp = dict(blocks[key])
+            qd = quantize_weight(lp["w"])
+            lp["w"] = qd["w"]
+            lp["scale"] = qd["scale"]
+            blocks[key] = lp
+        out["blocks"] = blocks
+        merger = dict(p["merger"])
+        for key in ("fc1", "fc2"):
+            lp = dict(merger[key])
+            qd = quantize_weight(lp["w"])
+            lp["w"] = qd["w"]
+            lp["scale"] = qd["scale"]
+            merger[key] = lp
+        out["merger"] = merger
+        return out
+
+    return _quant(visual)
 
 
 def param_bytes(params) -> int:

@@ -46,11 +46,15 @@ SCAN_BLOCK = 8  # video chunks fused per compiled scan dispatch
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "grid_t", "grid_h", "grid_w"),
+    static_argnames=("cfg", "grid_t", "grid_h", "grid_w", "act_quant"),
 )
-def _vit_chunk(params, cfg: Qwen2VLConfig, patches, grid_t, grid_h, grid_w):
+def _vit_chunk(
+    params, cfg: Qwen2VLConfig, patches, grid_t, grid_h, grid_w,
+    act_quant=False,
+):
     return vision.vision_tower(
-        params["visual"], cfg.vision, patches, grid_t, grid_h, grid_w
+        params["visual"], cfg.vision, patches, grid_t, grid_h, grid_w,
+        act_quant=act_quant,
     )
 
 
@@ -64,7 +68,7 @@ def _dpselect_gather(video_embeds, grid_t, hw, tgt, window, sync):
     return kept.reshape(tgt * hw, -1), keymask.reshape(-1)
 
 
-@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "attn_budget"))
+@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "attn_budget", "act_quant"))
 def _segment_step(
     params,
     cfg: Qwen2VLConfig,
@@ -80,6 +84,7 @@ def _segment_step(
     reforge: bool,
     attn_impl: str,
     attn_budget: int | None = None,
+    act_quant: bool = False,
 ):
     d = embeds_full.shape[-1]
     hidden = jax.lax.dynamic_slice(embeds_full, (offset, 0), (chunk_len, d))
@@ -88,11 +93,11 @@ def _segment_step(
     return text.decoder_chunk(
         params, cfg, cache, hidden, pos3, valid_len, keypatch, keep_len,
         compress=compress, reforge=reforge, attn_impl=attn_impl,
-        attn_budget=attn_budget,
+        attn_budget=attn_budget, act_quant=act_quant,
     )
 
 
-@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "prompt_len", "attn_budget"))
+@partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "prompt_len", "attn_budget", "act_quant"))
 def _video_chunk_with_prompt_step(
     params,
     cfg: Qwen2VLConfig,
@@ -110,6 +115,7 @@ def _video_chunk_with_prompt_step(
     reforge: bool,
     attn_impl: str,
     attn_budget: int | None = None,
+    act_quant: bool = False,
 ):
     """Prompt-guided chunk: [video (valid prefix) | prompt | leftover pad].
 
@@ -143,7 +149,7 @@ def _video_chunk_with_prompt_step(
     return text.decoder_chunk(
         params, cfg, cache, hidden, pos3, valid_len + prompt_len, kp, keep_len,
         compress=compress, reforge=reforge, attn_impl=attn_impl,
-        attn_budget=attn_budget,
+        attn_budget=attn_budget, act_quant=act_quant,
     )
 
 
@@ -226,7 +232,7 @@ def _decode_loop(
 @partial(
     jax.jit,
     donate_argnames=("cache",),
-    static_argnames=("cfg", "chunk_len", "compress", "reforge", "attn_impl", "attn_budget"),
+    static_argnames=("cfg", "chunk_len", "compress", "reforge", "attn_impl", "attn_budget", "act_quant"),
 )
 def _video_segment_scan(
     params,
@@ -243,6 +249,7 @@ def _video_segment_scan(
     reforge: bool,
     attn_impl: str,
     attn_budget: int | None = None,
+    act_quant: bool = False,
 ):
     """All chunks of one video segment in a single compiled scan.
 
@@ -261,7 +268,7 @@ def _video_segment_scan(
         hidden, cache = text.decoder_chunk(
             params, cfg, cache, hidden, pos3, valid, kp, keep,
             compress=compress, reforge=reforge, attn_impl=attn_impl,
-            attn_budget=attn_budget,
+            attn_budget=attn_budget, act_quant=act_quant,
         )
         return (cache, hidden), None
 
@@ -270,6 +277,59 @@ def _video_segment_scan(
         body, (cache, hidden0), (offsets, valids, keeps)
     )
     return hidden, cache
+
+
+@partial(
+    jax.jit,
+    donate_argnames=("caches",),
+    static_argnames=(
+        "cfg", "num_steps", "reforge", "attn_impl", "attn_budget", "sampling"
+    ),
+)
+def _decode_loop_batch(
+    params, cfg: Qwen2VLConfig, caches, first_tokens, pos_bases,
+    num_steps: int, reforge: bool, attn_impl: str,
+    attn_budget: int | None = None,
+    sampling: Optional[Tuple] = None,
+    rng_keys=None,
+):
+    """Batched decode: one scanned loop, requests vmapped inside each step.
+
+    Decode is HBM-bandwidth-bound (weight reads dominate at batch 1), so
+    batching requests into one dispatch amortizes the weight streaming —
+    near-linear aggregate tokens/s until the batch's KV reads catch up with
+    the weight reads. ``caches`` is a KVCache pytree with a leading batch
+    axis (per-request ``length`` rides along as a [B] vector); params are
+    closed over and broadcast.
+    """
+
+    def body(carry, i):
+        tokens, caches, done = carry
+
+        def one(token, cache, pos_base, key):
+            emb = text.embed(params, token[None])
+            pos3 = jnp.broadcast_to(pos_base + i, (3, 1)).astype(jnp.int32)
+            hidden, cache = text.decoder_chunk(
+                params, cfg, cache, emb, pos3, jnp.int32(1),
+                jnp.zeros(1, bool), jnp.int32(1),
+                compress=False, reforge=reforge, attn_impl=attn_impl,
+                attn_budget=attn_budget,
+            )
+            logits = text.final_logits(params, cfg, hidden[0])
+            k = None if sampling is None else jax.random.fold_in(key, i)
+            return _select_token(logits, k, sampling), cache
+
+        nxt, caches = jax.vmap(one)(tokens, caches, pos_bases, rng_keys)
+        nxt = jnp.where(done, jnp.int32(cfg.eos_token_id), nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return (nxt, caches, done), nxt
+
+    first_tokens = first_tokens.astype(jnp.int32)
+    done0 = first_tokens == cfg.eos_token_id
+    (_, caches, _), tokens = jax.lax.scan(
+        body, (first_tokens, caches, done0), jnp.arange(num_steps)
+    )
+    return tokens, caches  # tokens [num_steps, B]
 
 
 @partial(jax.jit, static_argnames=("cfg", "sampling"))
@@ -313,6 +373,18 @@ class GenerationResult:
     stages: Optional[dict] = None
 
 
+@dataclasses.dataclass
+class PrefillState:
+    """Everything batched decode needs from one request's prefill."""
+    cache: object  # KVCache
+    first_token: jax.Array  # scalar int32 (on device)
+    first_token_host: int
+    decode_pos_base: int
+    final_len: int
+    reforge: bool
+    result: GenerationResult  # prefill-only result (tokens = [first])
+
+
 class Qwen2VLEngine:
     """Single-request (batch 1) long-video inference engine."""
 
@@ -333,6 +405,9 @@ class Qwen2VLEngine:
         self.cache_sharding = cache_sharding
         impl = retake.attn_implementation
         self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "pallas"
+        # W8A8 (config `quantization: w8a8`): prefill linears run on the
+        # MXU's double-rate int8 path; decode stays exact weight-only
+        self.act_quant = retake.quantization == "w8a8"
 
     # ---------- vision ----------
 
@@ -348,8 +423,9 @@ class Qwen2VLEngine:
         t, h, w = (int(x) for x in np.asarray(video_grid_thw).reshape(-1)[:3])
         fcs = self.retake.frame_chunk_size or 10**9
         patches = jnp.asarray(pixel_values_videos, dtype=self._vit_dtype())
+        aq = self.act_quant and "scale" in self.params["visual"]["blocks"]["qkv"]
         if t <= fcs:
-            return _vit_chunk(self.params, self.cfg, patches, t, h, w)
+            return _vit_chunk(self.params, self.cfg, patches, t, h, w, aq)
         hw = h * w
         outs = []
         for i in range(0, t, fcs):
@@ -357,7 +433,7 @@ class Qwen2VLEngine:
             chunk = patches[i * hw : (i + tc) * hw]
             if tc < fcs:  # pad tail to the common shape; frames are independent
                 chunk = jnp.pad(chunk, ((0, (fcs - tc) * hw), (0, 0)))
-            out = _vit_chunk(self.params, self.cfg, chunk, fcs, h, w)
+            out = _vit_chunk(self.params, self.cfg, chunk, fcs, h, w, aq)
             merged_per_t = hw // self.cfg.vision.spatial_merge_size**2
             outs.append(out[: tc * merged_per_t])
         return jnp.concatenate(outs, axis=0)
@@ -382,16 +458,41 @@ class Qwen2VLEngine:
         is its own (t=1, h, w) grid; embeddings concatenate in input order."""
         grids = np.asarray(image_grid_thw).reshape(-1, 3)
         pixels = np.asarray(pixel_values)
+        aq = self.act_quant and "scale" in self.params["visual"]["blocks"]["qkv"]
         outs = []
         off = 0
         for t, h, w in grids:
             t, h, w = int(t), int(h), int(w)
             n = t * h * w
             chunk = jnp.asarray(pixels[off : off + n], dtype=self._vit_dtype())
-            outs.append(_vit_chunk(self.params, self.cfg, chunk, t, h, w))
+            outs.append(_vit_chunk(self.params, self.cfg, chunk, t, h, w, aq))
             off += n
         assert off == pixels.shape[0], (off, pixels.shape)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def generate_batch(
+        self,
+        requests: List[dict],
+        max_new_tokens: Optional[int] = None,
+    ) -> List[GenerationResult]:
+        """Serve several requests: sequential prefill, batched decode.
+
+        Each request is a dict of ``generate`` kwargs. Prefill is MXU-bound
+        at batch 1 (large chunk matmuls), so requests prefill back-to-back;
+        decode is HBM-bound, so all requests then decode together in one
+        vmapped scan (near-linear aggregate tokens/s in the batch size).
+        Greedy decode is token-exact vs per-request ``generate``.
+        """
+        max_new_tokens = max_new_tokens or self.retake.max_new_tokens
+        states = [
+            self.generate(**req, max_new_tokens=max_new_tokens,
+                          _prefill_only=True)
+            for req in requests
+        ]
+        return decode_batch(
+            self.params, self.cfg, self.retake, states, max_new_tokens,
+            self.attn_impl,
+        )
 
     def generate(
         self,
@@ -401,6 +502,7 @@ class Qwen2VLEngine:
         max_new_tokens: Optional[int] = None,
         pixel_values: Optional[np.ndarray] = None,
         image_grid_thw=None,
+        _prefill_only: bool = False,
     ) -> GenerationResult:
         import time
 
@@ -487,7 +589,8 @@ class Qwen2VLEngine:
             max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
             timer=timer, t_start=t0,
             image_embeds=image_embeds, image_token_id=cfg.image_token_id,
-            cache_sharding=self.cache_sharding,
+            cache_sharding=self.cache_sharding, act_quant=self.act_quant,
+            prefill_only=_prefill_only,
         )
 
 
@@ -510,7 +613,9 @@ def prefill_and_decode(
     image_embeds=None,
     image_token_id: Optional[int] = None,
     cache_sharding=None,
-) -> GenerationResult:
+    act_quant: bool = False,
+    prefill_only: bool = False,
+):
     """Shared chunked-prefill + greedy-decode core (both model families).
 
     Implements the reference's segment loop + PivotKV orchestration
@@ -520,6 +625,8 @@ def prefill_and_decode(
     import time
 
     s = len(ids)
+    # W8A8 needs int8 weights; fall back to the exact path otherwise
+    act_quant = act_quant and "scale" in params["layers"]["q"]
     ratio = rt.compression_ratio_for(s)
     reforge = rt.kv.pos_embed_reforge and rt.kvcache_compression
     compress_video = rt.kvcache_compression and ratio < 1.0
@@ -636,6 +743,7 @@ def prefill_and_decode(
                     jnp.int32(step["offset"]), jnp.int32(step["valid"]),
                     jnp.int32(step["valid"]), step["chunk_len"],
                     False, reforge, attn_impl, min(step["bucket"], budget),
+                    act_quant,
                 )
                 last_valid = step["valid"]
                 i += 1
@@ -646,7 +754,7 @@ def prefill_and_decode(
                     jnp.int32(step["keep"]), jnp.int32(prompt_span[0]),
                     step["chunk_len"], step["prompt_len"],
                     compress_video, reforge, attn_impl,
-                    min(step["bucket"], budget),
+                    min(step["bucket"], budget), act_quant,
                 )
                 last_valid = step["valid"] + step["prompt_len"]
                 i += 1
@@ -671,7 +779,7 @@ def prefill_and_decode(
                         jnp.asarray([x["valid"] for x in blk], jnp.int32),
                         jnp.asarray([x["keep"] for x in blk], jnp.int32),
                         step["chunk_len"], compress_video, reforge, attn_impl,
-                        min(blk[-1]["bucket"], budget),
+                        min(blk[-1]["bucket"], budget), act_quant,
                     )
                     last_valid = blk[-1]["valid"]
                 for x in group[len(group) - len(group) % g :]:
@@ -680,7 +788,7 @@ def prefill_and_decode(
                         jnp.int32(x["offset"]), jnp.int32(x["valid"]),
                         jnp.int32(x["keep"]), x["chunk_len"],
                         compress_video, reforge, attn_impl,
-                        min(x["bucket"], budget),
+                        min(x["bucket"], budget), act_quant,
                     )
                     last_valid = x["valid"]
                 i = j
@@ -705,6 +813,21 @@ def prefill_and_decode(
         )
         token_host = int(token)  # prefill ends when first token is ready
     t_prefill = time.perf_counter() - t_start
+
+    if prefill_only:
+        timer.report()
+        result = GenerationResult(
+            tokens=np.asarray([token_host]),
+            prefill_seconds=t_prefill,
+            cache_len=final_len,
+            input_len=s,
+            stages=dict(timer.totals) if timer.totals else None,
+        )
+        return PrefillState(
+            cache=kv, first_token=token, first_token_host=token_host,
+            decode_pos_base=decode_pos_base, final_len=final_len,
+            reforge=reforge, result=result,
+        )
 
     # 6. decode: one scanned device loop, trim at EOS on host
     t0 = time.perf_counter()
@@ -733,3 +856,87 @@ def prefill_and_decode(
         input_len=s,
         stages=dict(timer.totals) if timer.totals else None,
     )
+
+
+def decode_batch(
+    params,
+    cfg: Qwen2VLConfig,  # text config
+    rt: RetakeConfig,
+    states: List[PrefillState],
+    max_new_tokens: int,
+    attn_impl: str,
+) -> List[GenerationResult]:
+    """Batched decode over prefilled requests (see Engine.generate_batch).
+
+    Grows every cache to the batch's max budget, stacks the KVCache pytrees
+    along a new leading axis, and runs one vmapped scanned decode loop.
+    """
+    import time
+
+    reforge = states[0].reforge
+    budget = max(st.cache.budget for st in states)
+    attn_need = max(
+        min(
+            max(BUDGET_BUCKET,
+                math.ceil((st.final_len + max_new_tokens) / BUDGET_BUCKET)
+                * BUDGET_BUCKET),
+            budget,
+        )
+        for st in states
+    )
+
+    t0 = time.perf_counter()
+    out_tokens = [[st.first_token_host] for st in states]
+    live = [
+        i for i, st in enumerate(states)
+        if st.first_token_host != cfg.eos_token_id
+    ]
+    if max_new_tokens > 1 and live:
+        caches = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *(cache_lib.grow_cache(states[i].cache, budget) for i in live),
+        )
+        for st in states:  # free per-request buffers once stacked
+            st.cache = None
+        first = jnp.asarray([states[i].first_token_host for i in live], jnp.int32)
+        pos_bases = jnp.asarray(
+            [states[i].decode_pos_base for i in live], jnp.int32
+        )
+        sampling = None
+        if rt.do_sample:
+            sampling = (
+                float(getattr(rt, "temperature", 1.0)),
+                float(getattr(rt, "top_p", 1.0)),
+                int(getattr(rt, "top_k", 0)),
+            )
+        base_key = jax.random.key(int(getattr(rt, "seed", 0)))
+        rng_loop = jax.random.fold_in(base_key, 1)
+        rng_keys = jax.vmap(lambda b: jax.random.fold_in(rng_loop, b))(
+            jnp.arange(len(live))
+        )
+        tokens, _ = _decode_loop_batch(
+            params, cfg, caches, first, pos_bases, max_new_tokens - 1,
+            reforge, attn_impl, attn_need, sampling, rng_keys,
+        )
+        tokens = np.asarray(tokens)  # [steps, B]
+        for bi, i in enumerate(live):
+            col = tokens[:, bi]
+            eos = np.flatnonzero(col == cfg.eos_token_id)
+            end = (eos[0] + 1) if len(eos) else len(col)
+            out_tokens[i].extend(col[:end].tolist())
+    t_decode = time.perf_counter() - t0
+
+    results = []
+    for i, st in enumerate(states):
+        r = st.result
+        results.append(
+            GenerationResult(
+                tokens=np.asarray(out_tokens[i]),
+                prefill_seconds=r.prefill_seconds,
+                decode_seconds=t_decode,  # shared batched-decode wall time
+                cache_len=r.cache_len,
+                input_len=r.input_len,
+                stages=r.stages,
+            )
+        )
+    return results

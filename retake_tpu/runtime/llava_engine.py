@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from retake_tpu.models.llava_onevision import siglip
 from retake_tpu.models.llava_onevision.config import LlavaOnevisionConfig
 from retake_tpu.ops import dpselect
-from retake_tpu.runtime.engine import GenerationResult, prefill_and_decode
+from retake_tpu.runtime.engine import (
+    GenerationResult,
+    decode_batch,
+    prefill_and_decode,
+)
 from retake_tpu.utils.config import RetakeConfig
 
 
@@ -68,6 +72,7 @@ class LlavaOnevisionEngine:
         self.retake = retake
         impl = retake.attn_implementation
         self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "pallas"
+        self.act_quant = retake.quantization == "w8a8"
 
     def run_vision(self, frames: np.ndarray) -> jax.Array:
         """frames [T, 384, 384, 3] uint8 -> SigLIP features [T, 729, 1152]
@@ -146,6 +151,7 @@ class LlavaOnevisionEngine:
         max_new_tokens: Optional[int] = None,
         pixel_values: Optional[np.ndarray] = None,  # [n, p, S, S, 3] u8
         image_sizes=None,  # [n, 2] (H, W)
+        _prefill_only: bool = False,
     ) -> GenerationResult:
         import time
 
@@ -230,6 +236,24 @@ class LlavaOnevisionEngine:
             max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
             timer=timer, t_start=t_start,
             image_embeds=image_embeds, image_token_id=cfg.image_token_id,
+            act_quant=self.act_quant, prefill_only=_prefill_only,
+        )
+
+    def generate_batch(
+        self,
+        requests: list,
+        max_new_tokens: Optional[int] = None,
+    ) -> list:
+        """Sequential prefill + one batched decode (engine.decode_batch)."""
+        max_new_tokens = max_new_tokens or self.retake.max_new_tokens
+        states = [
+            self.generate(**req, max_new_tokens=max_new_tokens,
+                          _prefill_only=True)
+            for req in requests
+        ]
+        return decode_batch(
+            self.params, self.cfg.text, self.retake, states, max_new_tokens,
+            self.attn_impl,
         )
 
 
@@ -238,7 +262,11 @@ def load_llava_engine(hf_path: str, rt: RetakeConfig) -> LlavaOnevisionEngine:
 
     cfg = LlavaOnevisionConfig.from_pretrained(hf_path)
     params = params_lib.load_safetensors(hf_path, cfg)
-    if rt.quantization == "int8":
+    if rt.quantization in ("int8", "w8a8"):
+        # w8a8: the shared text decoder runs W8A8 at prefill
+        # (prefill_and_decode act_quant); the SigLIP tower stays bf16 —
+        # its 384x384 tiles are a far smaller FLOP share than Qwen2-VL's
+        # native-resolution ViT
         from retake_tpu.ops.quantization import quantize_llm_int8
 
         params = quantize_llm_int8(params)

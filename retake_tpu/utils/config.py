@@ -65,8 +65,11 @@ class RetakeConfig:
     seed: int = 0  # TPU extension: sampling is seeded/deterministic
     max_new_tokens: int = 128
     output_dir: Optional[str] = None
-    # TPU-native extension: weight-only quantization ("int8" | None) — lets
-    # the 7B models fit a single 16 GB v5e chip
+    # TPU-native extension: quantization (None | "int8" | "w8a8").
+    # "int8": weight-only, exact dequant — lets the 7B models fit a single
+    # 16 GB v5e chip. "w8a8": int8 weights AND per-token int8 activations at
+    # prefill, running the linears on the MXU's double-rate int8 path
+    # (~1.6x measured on matmul-bound stages); decode stays weight-only.
     quantization: Optional[str] = None
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
 

@@ -356,3 +356,59 @@ def test_prompt_guided_compression(tiny, rng):
     keep_per_chunk = int(ratio * (4 + post))
     expected = pre + 8 * keep_per_chunk + post
     assert r1.cache_len == expected, (r1.cache_len, expected)
+
+
+def test_generate_batch_matches_sequential(tiny, rng):
+    """Batched decode (generate_batch) must be token-exact vs per-request
+    generate under greedy decoding — same caches, same decode math, just
+    vmapped (engine.decode_batch)."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {
+            "longvideo_kwargs": {
+                "chunked_prefill_frames": 2,
+                "frame_chunk_size": 2,
+                "kvcache_compression": True,
+                "kvcache_compression_kwargs": {
+                    "compression_ratio": 0.6,
+                    "pos_embed_reforge": True,
+                },
+            }
+        }
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    # different shapes per request: video sizes and prompt lengths differ
+    reqs = []
+    for grid_t, plen in ((2, 5), (4, 3), (2, 8)):
+        ids, patches, grid = make_video_request(
+            cfg, rng, grid_t=grid_t, prompt_len=plen
+        )
+        reqs.append(
+            dict(input_ids=ids, pixel_values_videos=patches,
+                 video_grid_thw=grid)
+        )
+    seq = [engine.generate(**r, max_new_tokens=6) for r in reqs]
+    batch = engine.generate_batch(reqs, max_new_tokens=6)
+    assert len(batch) == len(seq)
+    for b, s in zip(batch, seq):
+        np.testing.assert_array_equal(b.tokens, s.tokens)
+        assert b.cache_len == s.cache_len
+
+
+def test_generate_batch_eos_first_token(tiny, rng):
+    """A request whose first token is EOS must not join the decode batch."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    ids, patches, grid = make_video_request(cfg, rng)
+    r_single = engine.generate(ids, patches, grid, max_new_tokens=5)
+    batch = engine.generate_batch(
+        [dict(input_ids=ids, pixel_values_videos=patches,
+              video_grid_thw=grid)] * 2,
+        max_new_tokens=5,
+    )
+    for b in batch:
+        np.testing.assert_array_equal(b.tokens, r_single.tokens)

@@ -28,6 +28,111 @@ def test_scale_commutes_with_matmul(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+def test_int8_linear_matches_numpy_oracle(rng):
+    """W8A8 core math: dynamic per-row activation quant + int8 dot + dequant
+    must match an independent numpy transcription exactly (int32 accumulate
+    is exact; the only rounding is the two int8 quantizations themselves)."""
+    x = rng.normal(size=(6, 32)).astype(np.float32) * 3.0
+    w = rng.normal(size=(32, 16)).astype(np.float32)
+    qd = quant.quantize_weight(jnp.asarray(w))
+    got = np.asarray(
+        quant.int8_linear(jnp.asarray(x), qd["w"], qd["scale"])
+    )
+
+    # numpy oracle
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    xs = np.maximum(amax, 1e-8) / 127.0
+    xq = np.clip(np.round(x / xs), -127, 127).astype(np.int8)
+    acc = xq.astype(np.int32) @ np.asarray(qd["w"]).astype(np.int32)
+    want = acc.astype(np.float32) * xs * np.asarray(qd["scale"])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # and it approximates the float matmul to 8-bit accuracy
+    rel = np.abs(got - x @ w) / (np.abs(x @ w).mean() + 1e-9)
+    assert rel.mean() < 0.05
+
+
+def test_w8a8_decoder_chunk_close_to_bf16(rng):
+    """W8A8 prefill is lossy but must stay close: cosine similarity of the
+    chunk hidden states vs the exact weight-only path > 0.98 on the tiny
+    model (28 layers of 8-bit rounding compound, hence not exact)."""
+    import jax
+
+    from retake_tpu.models.qwen2_vl import text
+    from retake_tpu.models.qwen2_vl import params as params_lib
+    from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
+    from retake_tpu.runtime import cache as cache_lib
+
+    cfg = TINY_TEST_CONFIG
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+    qparams = quant.quantize_llm_int8(params)
+
+    s = 16
+    hidden = jnp.asarray(rng.normal(size=(s, cfg.hidden_size)).astype(np.float32))
+    pos3 = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (3, s))
+    kv = cache_lib.init_cache(
+        cfg.num_hidden_layers, cfg.num_key_value_heads, 64, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    args = (hidden, pos3, jnp.int32(s), jnp.zeros(s, bool), jnp.int32(s))
+    h_exact, _ = text.decoder_chunk(
+        qparams, cfg, kv, *args, compress=False, reforge=False,
+        attn_impl="xla", act_quant=False,
+    )
+    kv2 = jax.tree.map(jnp.copy, kv)
+    h_q, _ = text.decoder_chunk(
+        qparams, cfg, kv2, *args, compress=False, reforge=False,
+        attn_impl="xla", act_quant=True,
+    )
+    a = np.asarray(h_exact, np.float64).ravel()
+    b = np.asarray(h_q, np.float64).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.98, cos
+
+
+def test_engine_runs_w8a8(rng):
+    """quantization: w8a8 end-to-end: engine runs with int8 LLM + ViT
+    weights, activation quant at prefill, deterministic tokens."""
+    from retake_tpu.models.qwen2_vl import params as params_lib
+    from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
+    from retake_tpu.runtime.engine import Qwen2VLEngine
+    from retake_tpu.utils.config import RetakeConfig
+
+    cfg = TINY_TEST_CONFIG
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+    qparams = quant.quantize_llm_int8(params)
+    qparams["visual"] = quant.quantize_vit_int8(qparams["visual"])
+    assert qparams["visual"]["blocks"]["qkv"]["w"].dtype == jnp.int8
+
+    n_tok = 2 * 4 * 4 // 4
+    ids = np.array(
+        [10, cfg.vision_start_token_id] + [cfg.video_token_id] * n_tok
+        + [cfg.vision_end_token_id, 11, 12], dtype=np.int64,
+    )
+    patches = rng.normal(size=(2 * 4 * 4, cfg.vision.patch_input_dim)).astype(
+        np.float32
+    )
+    grid = np.array([[2, 4, 4]])
+    rt = RetakeConfig.from_dict(
+        {
+            "quantization": "w8a8",
+            "longvideo_kwargs": {
+                "chunked_prefill_frames": 2, "frame_chunk_size": 2,
+                "kvcache_compression": True,
+                "kvcache_compression_kwargs": {
+                    "compression_ratio": 0.5, "pos_embed_reforge": True,
+                },
+            },
+        }
+    )
+    eng = Qwen2VLEngine(cfg, qparams, rt)
+    assert eng.act_quant
+    r1 = eng.generate(ids, patches, grid, max_new_tokens=4)
+    r2 = eng.generate(ids, patches, grid, max_new_tokens=4)
+    assert r1.tokens.shape[0] >= 1
+    np.testing.assert_array_equal(r1.tokens, r2.tokens)
+
+
 def test_engine_runs_quantized(rng):
     from retake_tpu.models.qwen2_vl import params as params_lib
     from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
