@@ -36,6 +36,10 @@ def patchify_frames(
     g, ps = vcfg.grid, vcfg.patch_size
     x = frames_u8.astype(jnp.float32) / 255.0
     x = (x - 0.5) / 0.5
+    # HF's patch embed is Conv2d(kernel=ps, stride=ps, padding='valid'): at
+    # so400m geometry (384 px, patch 14) the 27x27 grid covers only 378 px
+    # and the conv drops the trailing 6 rows/cols — crop to match
+    x = x[:, : g * ps, : g * ps, :]
     x = x.reshape(t, g, ps, g, ps, 3)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # [T, gh, gw, C, ph, pw]
     return x.reshape(t, g * g, 3 * ps * ps).astype(dtype)
@@ -52,48 +56,59 @@ def _gelu_tanh(x):
     return jax.nn.gelu(x, approximate=True)
 
 
-def _block(vcfg: SiglipVisionConfig, hidden, bp):
+def _slinear(x, p, act_int8=False):
+    """SigLIP linear over {'w'[, 'scale'], 'b'}; shared int8/W8A8 dispatch
+    (ops/quantization.qlinear)."""
+    from retake_tpu.ops.quantization import qlinear
+
+    return qlinear(x, p, act_int8)
+
+
+def _block(vcfg: SiglipVisionConfig, hidden, bp, act_quant: bool = False):
     """One SigLIP encoder layer over [T, N, D] (pre-LN)."""
     t, n, d = hidden.shape
     nh, hd = vcfg.num_attention_heads, vcfg.head_dim
     eps = vcfg.layer_norm_eps
 
     x = _layer_norm(hidden, bp["ln1"]["scale"], bp["ln1"]["bias"], eps)
-    q = (x @ bp["q"]["w"] + bp["q"]["b"]).reshape(t, n, nh, hd)
-    k = (x @ bp["k"]["w"] + bp["k"]["b"]).reshape(t, n, nh, hd)
-    v = (x @ bp["v"]["w"] + bp["v"]["b"]).reshape(t, n, nh, hd)
+    q = _slinear(x, bp["q"], act_quant).reshape(t, n, nh, hd)
+    k = _slinear(x, bp["k"], act_quant).reshape(t, n, nh, hd)
+    v = _slinear(x, bp["v"], act_quant).reshape(t, n, nh, hd)
     logits = jnp.einsum(
         "tqhd,tkhd->thqk", q, k, preferred_element_type=jnp.float32
     ) / np.sqrt(hd)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     attn = jnp.einsum("thqk,tkhd->tqhd", probs, v).reshape(t, n, d)
-    hidden = hidden + (attn @ bp["out"]["w"] + bp["out"]["b"])
+    hidden = hidden + _slinear(attn, bp["out"], act_quant)
 
     x2 = _layer_norm(hidden, bp["ln2"]["scale"], bp["ln2"]["bias"], eps)
-    mlp = _gelu_tanh(x2 @ bp["fc1"]["w"] + bp["fc1"]["b"])
-    mlp = mlp @ bp["fc2"]["w"] + bp["fc2"]["b"]
+    mlp = _gelu_tanh(_slinear(x2, bp["fc1"], act_quant))
+    mlp = _slinear(mlp, bp["fc2"], act_quant)
     return hidden + mlp
 
 
 def siglip_tower(
-    params: dict, vcfg: SiglipVisionConfig, patches: jax.Array
+    params: dict, vcfg: SiglipVisionConfig, patches: jax.Array,
+    act_quant: bool = False,
 ) -> jax.Array:
     """[T, N, patch_dim] -> last encoder layer output [T, N, D] (no post-LN)."""
     x = patches @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
     x = x + params["pos_embed"]  # [N, D] learned
 
     def body(hidden, bp):
-        return _block(vcfg, hidden, bp), None
+        return _block(vcfg, hidden, bp, act_quant), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return x
 
 
-def multi_modal_projector(params: dict, features: jax.Array) -> jax.Array:
+def multi_modal_projector(
+    params: dict, features: jax.Array, act_quant: bool = False
+) -> jax.Array:
     """SigLIP features -> LLM space: linear, gelu, linear."""
-    x = features @ params["linear_1"]["w"] + params["linear_1"]["b"]
+    x = _slinear(features, params["linear_1"], act_quant)
     x = jax.nn.gelu(x, approximate=False)
-    return x @ params["linear_2"]["w"] + params["linear_2"]["b"]
+    return _slinear(x, params["linear_2"], act_quant)
 
 
 def apply_pooling(

@@ -44,28 +44,32 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 def _linear(x, p, bias_key="b", act_int8=False):
     """Linear over a weight dict; dispatches on int8 quantization
-    (ops/quantization.py): y = (x @ w_q) * scale, exact since the per-output
-    -channel scale commutes with the contraction. XLA's int8 dot streams the
-    int8 weights and converts in-core already (a hand-written Pallas
-    fused-dequant matvec measured 2.7x SLOWER at 7B decode — single-row
-    matmuls starve the MXU), so the plain dot is the fast path.
+    (ops/quantization.qlinear): weight-only dequant is exact (the per-output
+    -channel scale commutes with the contraction) and XLA's int8 dot streams
+    the int8 weights converting in-core (a hand-written Pallas fused-dequant
+    matvec measured 2.7x SLOWER at 7B decode — single-row matmuls starve the
+    MXU). ``act_int8`` = W8A8 (prefill only): int8 x int8 on the MXU's
+    double-rate path."""
+    from retake_tpu.ops.quantization import qlinear
 
-    ``act_int8`` (W8A8 mode, prefill only): also quantize the activations
-    per-token and run the dot int8 x int8 -> int32 on the MXU's double-rate
-    int8 path (ops/quantization.int8_linear).
-    """
-    w = p["w"]
-    if "scale" in p:
-        if act_int8:
-            from retake_tpu.ops.quantization import int8_linear
+    return qlinear(x, p, act_int8, bias_key)
 
-            y = int8_linear(x, w, p["scale"])
-        else:
-            y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
-    else:
-        y = x @ w
-    b = p.get(bias_key)
-    return y if b is None else y + b
+
+def _shared_quant_linears(x, lps, act_int8):
+    """Run several linears off the SAME input: under W8A8 the activation
+    quantization happens once and is shared (q/k/v and gate/up read one
+    quantized copy of x instead of re-rounding it per projection)."""
+    if not act_int8:
+        return [_linear(x, lp) for lp in lps]
+    from retake_tpu.ops import quantization as q8
+
+    xq, xs = q8.quantize_acts(x)
+    outs = []
+    for lp in lps:
+        y = q8.int8_matmul_prequant(xq, xs, lp["w"], lp["scale"], x.dtype)
+        b = lp.get("b")
+        outs.append(y if b is None else y + b)
+    return outs
 
 
 def _heads(x: jax.Array, num_heads: int, head_dim: int) -> jax.Array:
@@ -108,9 +112,12 @@ def _layer(
     s = hidden.shape[0]
 
     x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
-    q = _heads(_linear(x, lp["q"], act_int8=act_quant), n_heads, h_dim)
-    k = _heads(_linear(x, lp["k"], act_int8=act_quant), kv_heads, h_dim)
-    v = _heads(_linear(x, lp["v"], act_int8=act_quant), kv_heads, h_dim)
+    q, k, v = _shared_quant_linears(
+        x, (lp["q"], lp["k"], lp["v"]), act_quant
+    )
+    q = _heads(q, n_heads, h_dim)
+    k = _heads(k, kv_heads, h_dim)
+    v = _heads(v, kv_heads, h_dim)
 
     # Per-layer temporal rebase (reference discontinuity fix, qwen2_vl.py:67-73):
     # continue this layer's cached temporal ids contiguously.
@@ -190,12 +197,8 @@ def _layer(
     hidden = hidden + _linear(_unheads(attn_out), lp["o"], act_int8=act_quant)
 
     x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(_linear(x2, lp["gate"], act_int8=act_quant))
-    mlp = _linear(
-        gate * _linear(x2, lp["up"], act_int8=act_quant),
-        lp["down"],
-        act_int8=act_quant,
-    )
+    gate_y, up_y = _shared_quant_linears(x2, (lp["gate"], lp["up"]), act_quant)
+    mlp = _linear(jax.nn.silu(gate_y) * up_y, lp["down"], act_int8=act_quant)
     hidden = hidden + mlp
 
     # --- cache block for this layer

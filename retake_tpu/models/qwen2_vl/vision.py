@@ -83,18 +83,11 @@ def _quick_gelu(x):
 
 
 def _vlinear(x, p, act_int8):
-    """ViT linear over a {'w'[, 'scale'], 'b'} dict; same int8 dispatch as
-    the text stack (models/qwen2_vl/text.py:_linear)."""
-    if "scale" in p:
-        if act_int8:
-            from retake_tpu.ops.quantization import int8_linear
+    """ViT linear over a {'w'[, 'scale'], 'b'} dict; shared int8/W8A8
+    dispatch (ops/quantization.qlinear)."""
+    from retake_tpu.ops.quantization import qlinear
 
-            y = int8_linear(x, p["w"], p["scale"])
-        else:
-            y = (x @ p["w"].astype(x.dtype)) * p["scale"].astype(x.dtype)
-    else:
-        y = x @ p["w"]
-    return y + p["b"] if "b" in p else y
+    return qlinear(x, p, act_int8)
 
 
 def _block(vcfg: Qwen2VisionConfig, cos, sin, hidden, bp, act_quant: bool):

@@ -61,6 +61,18 @@ def quantize_acts(x: jax.Array):
     return q, scale
 
 
+def int8_matmul_prequant(
+    xq: jax.Array, xs: jax.Array, w_q: jax.Array, w_scale: jax.Array, dtype
+) -> jax.Array:
+    """int8 dot over pre-quantized activations (so q/k/v or gate/up share
+    ONE activation quantization), dequantized to ``dtype``."""
+    acc = jax.lax.dot_general(
+        xq, w_q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xs * w_scale).astype(dtype)
+
+
 def int8_linear(x: jax.Array, w_q: jax.Array, w_scale: jax.Array) -> jax.Array:
     """W8A8 linear: dynamic-quantize x, int8 dot on the MXU, dequantize.
 
@@ -68,11 +80,29 @@ def int8_linear(x: jax.Array, w_q: jax.Array, w_scale: jax.Array) -> jax.Array:
     The int32 accumulator is exact; the only loss is the 8-bit rounding of x.
     """
     xq, xs = quantize_acts(x)
-    acc = jax.lax.dot_general(
-        xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    return (acc.astype(jnp.float32) * xs * w_scale).astype(x.dtype)
+    return int8_matmul_prequant(xq, xs, w_q, w_scale, x.dtype)
+
+
+def qlinear(x: jax.Array, p: dict, act_int8: bool = False, bias_key: str = "b"):
+    """Shared linear dispatch over a {'w'[, 'scale'][, bias]} leaf dict:
+
+    * bf16 weights: plain dot;
+    * int8 weights ({'w', 'scale'}): exact weight-only dequant
+      ``(x @ w_q) * scale`` — XLA streams the int8 tiles and converts
+      in-core inside the fused dot (the decode fast path);
+    * ``act_int8``: W8A8 — dynamic per-token activation quant + int8 dot on
+      the MXU double-rate path (prefill only).
+    """
+    w = p["w"]
+    if "scale" in p:
+        if act_int8:
+            y = int8_linear(x, w, p["scale"])
+        else:
+            y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ w
+    b = p.get(bias_key)
+    return y if b is None else y + b
 
 
 _LINEAR_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
@@ -135,6 +165,37 @@ def quantize_vit_int8(visual: dict) -> dict:
         return out
 
     return _quant(visual)
+
+
+def quantize_siglip_int8(params: dict) -> dict:
+    """Quantize the LLaVA SigLIP tower block linears + multimodal projector
+    (W8A8 mode). patch_embed / pos_embed / norms stay bf16.
+    """
+
+    @jax.jit
+    def _quant(p):
+        out = dict(p)
+        vt = dict(p["vision_tower"])
+        blocks = dict(vt["blocks"])
+        for key in ("q", "k", "v", "out", "fc1", "fc2"):
+            lp = dict(blocks[key])
+            qd = quantize_weight(lp["w"])
+            lp["w"] = qd["w"]
+            lp["scale"] = qd["scale"]
+            blocks[key] = lp
+        vt["blocks"] = blocks
+        out["vision_tower"] = vt
+        proj = dict(p["projector"])
+        for key in ("linear_1", "linear_2"):
+            lp = dict(proj[key])
+            qd = quantize_weight(lp["w"])
+            lp["w"] = qd["w"]
+            lp["scale"] = qd["scale"]
+            proj[key] = lp
+        out["projector"] = proj
+        return out
+
+    return _quant(params)
 
 
 def param_bytes(params) -> int:

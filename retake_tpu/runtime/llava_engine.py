@@ -34,17 +34,23 @@ from retake_tpu.runtime.engine import (
 from retake_tpu.utils.config import RetakeConfig
 
 
-@partial(jax.jit, static_argnames=("vcfg",))
-def _siglip_chunk(params, vcfg, frames_u8):
+@partial(jax.jit, static_argnames=("vcfg", "act_quant"))
+def _siglip_chunk(params, vcfg, frames_u8, act_quant=False):
     dtype = params["vision_tower"]["patch_embed"]["w"].dtype
     patches = siglip.patchify_frames(frames_u8, vcfg, dtype)
-    return siglip.siglip_tower(params["vision_tower"], vcfg, patches)
+    return siglip.siglip_tower(
+        params["vision_tower"], vcfg, patches, act_quant=act_quant
+    )
 
 
-@partial(jax.jit, static_argnames=("grid", "pooled"))
-def _project_pool_newline(params, features, grid: int, pooled: int):
+@partial(jax.jit, static_argnames=("grid", "pooled", "act_quant"))
+def _project_pool_newline(
+    params, features, grid: int, pooled: int, act_quant=False
+):
     """[t, 729, 1152] -> flattened LLM video embeds [t*196 + 1, d]."""
-    x = siglip.multi_modal_projector(params["projector"], features)
+    x = siglip.multi_modal_projector(
+        params["projector"], features, act_quant=act_quant
+    )
     x = siglip.apply_pooling(x, grid, pooled)
     t, n, d = x.shape
     flat = x.reshape(t * n, d)
@@ -74,6 +80,13 @@ class LlavaOnevisionEngine:
         self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "pallas"
         self.act_quant = retake.quantization == "w8a8"
 
+    def _vision_aq(self) -> bool:
+        """SigLIP W8A8 only when its weights are actually int8-quantized."""
+        return (
+            self.act_quant
+            and "scale" in self.params["vision_tower"]["blocks"]["q"]
+        )
+
     def run_vision(self, frames: np.ndarray) -> jax.Array:
         """frames [T, 384, 384, 3] uint8 -> SigLIP features [T, 729, 1152]
         in frame chunks (reference llava_onevision.py:424-439)."""
@@ -86,8 +99,9 @@ class LlavaOnevisionEngine:
         )
         fcs = self.retake.frame_chunk_size or 10**9
         frames = jnp.asarray(frames)
+        aq = self._vision_aq()
         if t <= fcs:
-            return _siglip_chunk(self.params, self.cfg.vision, frames)
+            return _siglip_chunk(self.params, self.cfg.vision, frames, aq)
         outs = []
         for i in range(0, t, fcs):
             tc = min(fcs, t - i)
@@ -95,7 +109,7 @@ class LlavaOnevisionEngine:
             if tc < fcs:
                 chunk = jnp.pad(chunk, ((0, fcs - tc), (0, 0), (0, 0), (0, 0)))
             outs.append(
-                _siglip_chunk(self.params, self.cfg.vision, chunk)[:tc]
+                _siglip_chunk(self.params, self.cfg.vision, chunk, aq)[:tc]
             )
         return jnp.concatenate(outs, axis=0)
 
@@ -120,6 +134,7 @@ class LlavaOnevisionEngine:
 
         cfg = self.cfg
         sizes = np.asarray(image_sizes).reshape(-1, 2)
+        aq = self._vision_aq()
         outs = []
         for i, (oh, ow) in enumerate(sizes):
             n_patch = anyres.image_size_to_num_patches(
@@ -127,9 +142,9 @@ class LlavaOnevisionEngine:
                 cfg.vision.image_size,
             )
             tiles = jnp.asarray(pixel_values[i][:n_patch])
-            feats = _siglip_chunk(self.params, cfg.vision, tiles)
+            feats = _siglip_chunk(self.params, cfg.vision, tiles, aq)
             proj = siglip.multi_modal_projector(
-                self.params["projector"], feats
+                self.params["projector"], feats, act_quant=aq
             )  # [n_patch, grid^2, d] — images are NOT 2x2-pooled (HF parity)
             outs.append(
                 anyres.pack_image_feature(
@@ -203,7 +218,8 @@ class LlavaOnevisionEngine:
                         raise NotImplementedError(vc.compression_method)
             with timer.stage("projector_pool"):
                 video_embeds = _project_pool_newline(
-                    self.params, features, cfg.grid_side, cfg.pooled_grid
+                    self.params, features, cfg.grid_side, cfg.pooled_grid,
+                    self._vision_aq(),
                 )
             n_video_tokens = tgt * cfg.tokens_per_frame + 1
             if tgt != t:
@@ -263,11 +279,12 @@ def load_llava_engine(hf_path: str, rt: RetakeConfig) -> LlavaOnevisionEngine:
     cfg = LlavaOnevisionConfig.from_pretrained(hf_path)
     params = params_lib.load_safetensors(hf_path, cfg)
     if rt.quantization in ("int8", "w8a8"):
-        # w8a8: the shared text decoder runs W8A8 at prefill
-        # (prefill_and_decode act_quant); the SigLIP tower stays bf16 —
-        # its 384x384 tiles are a far smaller FLOP share than Qwen2-VL's
-        # native-resolution ViT
         from retake_tpu.ops.quantization import quantize_llm_int8
 
         params = quantize_llm_int8(params)
+    if rt.quantization == "w8a8":
+        # SigLIP tower + projector also run W8A8 at prefill
+        from retake_tpu.ops.quantization import quantize_siglip_int8
+
+        params = quantize_siglip_int8(params)
     return LlavaOnevisionEngine(cfg, params, rt)

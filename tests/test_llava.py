@@ -234,3 +234,79 @@ def test_llava_mixed_image_video_matches_hf(tiny_anyres, rng):
         ids, vid, max_new_tokens=6, pixel_values=tiles, image_sizes=sizes
     )
     np.testing.assert_array_equal(got.tokens, expected)
+
+
+def test_llava_w8a8_and_batch(tiny, rng):
+    """W8A8 LLaVA: SigLIP + projector + text decoder int8-quantized, engine
+    runs deterministically; generate_batch token-exact vs sequential
+    (bf16 params — batched decode shares engine.decode_batch)."""
+    from retake_tpu.ops.quantization import (
+        quantize_llm_int8,
+        quantize_siglip_int8,
+    )
+
+    _, cfg, params = tiny
+    qparams = quantize_siglip_int8(quantize_llm_int8(params))
+    assert qparams["vision_tower"]["blocks"]["q"]["w"].dtype == jnp.int8
+    assert qparams["projector"]["linear_1"]["w"].dtype == jnp.int8
+
+    ids, vid = make_request(cfg, rng, frames=4)
+    rt = RetakeConfig.from_dict(
+        {
+            "quantization": "w8a8",
+            "longvideo_kwargs": {
+                "chunked_prefill_frames": 2, "frame_chunk_size": 4,
+            },
+        }
+    )
+    eng = LlavaOnevisionEngine(cfg, qparams, rt)
+    assert eng.act_quant and eng._vision_aq()
+    r1 = eng.generate(ids, vid, max_new_tokens=4)
+    r2 = eng.generate(ids, vid, max_new_tokens=4)
+    np.testing.assert_array_equal(r1.tokens, r2.tokens)
+
+    # batched decode parity on the bf16 engine
+    eng_bf = LlavaOnevisionEngine(
+        cfg, params,
+        RetakeConfig.from_dict(
+            {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                                  "frame_chunk_size": 4}}
+        ),
+    )
+    ids2, vid2 = make_request(cfg, rng, frames=6)
+    reqs = [
+        dict(input_ids=ids, pixel_values_videos=vid),
+        dict(input_ids=ids2, pixel_values_videos=vid2),
+    ]
+    seq = [eng_bf.generate(**r, max_new_tokens=5) for r in reqs]
+    batch = eng_bf.generate_batch(reqs, max_new_tokens=5)
+    for b, s in zip(batch, seq):
+        np.testing.assert_array_equal(b.tokens, s.tokens)
+
+
+def test_patchify_indivisible_geometry_matches_conv(rng):
+    """so400m geometry regression: image_size (384) is NOT divisible by
+    patch_size (14); HF's valid-padding Conv2d drops the trailing pixels.
+    patchify_frames must crop identically (caught live at 384x384: reshape
+    to 27*14=378 crashed before the crop was added)."""
+    from retake_tpu.models.llava_onevision import siglip
+
+    vcfg = SiglipVisionConfig(
+        hidden_size=8, intermediate_size=16, num_hidden_layers=1,
+        num_attention_heads=2, image_size=20, patch_size=6,  # grid 3 -> 18px
+    )
+    frames = rng.integers(0, 255, (2, 20, 20, 3), dtype=np.uint8)
+    patches = siglip.patchify_frames(
+        jnp.asarray(frames), vcfg, jnp.float32
+    )  # [2, 9, 108]
+    assert patches.shape == (2, vcfg.grid**2, 3 * 36)
+
+    w = rng.normal(size=(8, 3, 6, 6)).astype(np.float32)
+    conv = torch.nn.Conv2d(3, 8, 6, stride=6, padding="valid", bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w))
+        px = (frames.astype(np.float32) / 255.0 - 0.5) / 0.5
+        want = conv(torch.from_numpy(px).permute(0, 3, 1, 2))  # [2,8,3,3]
+        want = want.flatten(2).transpose(1, 2).numpy()  # [2, 9, 8]
+    got = np.asarray(patches) @ w.reshape(8, -1).T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
