@@ -181,18 +181,14 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
         inputs = processor(message["question"], message["video"])
         return i, message, meta, inputs
 
+    bs = max(1, int(getattr(rt, "eval_batch_size", 1)))
     t_start = time.time()
+    n_done = 0
     with open(shard_file, "a") as journal:
-        for n, (idx, loaded) in enumerate(
-            prefetch_iter(indices, load, rt.dataloader_num_workers)
-        ):
-            i, message, meta, inputs = loaded
-            result = engine.generate(
-                inputs["input_ids"],
-                inputs["pixel_values_videos"],
-                inputs["video_grid_thw"],
-                max_new_tokens=rt.max_new_tokens,
-            )
+
+        def journal_one(loaded, result):
+            nonlocal n_done
+            i, message, meta, _ = loaded
             answer = trim_answer(processor.decode(result.tokens))
             meta = dict(meta)
             meta["question"] = meta.get("question", message["question"])
@@ -212,9 +208,47 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
             }) + "\n")
             journal.flush()
             done[i] = answer
-            if n % 10 == 0:
-                rate = (n + 1) / (time.time() - t_start)
-                print(f"[rank {rank}] {n + 1}/{len(indices)} ({rate:.2f}/s)")
+            n_done += 1
+            if n_done % 10 == 1:
+                rate = n_done / (time.time() - t_start)
+                print(f"[rank {rank}] {n_done}/{len(indices)} ({rate:.2f}/s)")
+
+        pending = []  # (loaded,) accumulated up to eval_batch_size
+
+        def flush_batch():
+            if not pending:
+                return
+            if len(pending) == 1:
+                inputs = pending[0][3]
+                results = [engine.generate(
+                    inputs["input_ids"],
+                    inputs["pixel_values_videos"],
+                    inputs["video_grid_thw"],
+                    max_new_tokens=rt.max_new_tokens,
+                )]
+            else:
+                reqs = [
+                    dict(
+                        input_ids=ld[3]["input_ids"],
+                        pixel_values_videos=ld[3]["pixel_values_videos"],
+                        video_grid_thw=ld[3]["video_grid_thw"],
+                    )
+                    for ld in pending
+                ]
+                results = engine.generate_batch(
+                    reqs, max_new_tokens=rt.max_new_tokens
+                )
+            for ld, res in zip(pending, results):
+                journal_one(ld, res)
+            pending.clear()
+
+        for _, loaded in prefetch_iter(
+            indices, load, rt.dataloader_num_workers
+        ):
+            pending.append(loaded)
+            if len(pending) >= bs:
+                flush_batch()
+        flush_batch()
     return done
 
 

@@ -71,6 +71,11 @@ class RetakeConfig:
     # prefill, running the linears on the MXU's double-rate int8 path
     # (~1.6x measured on matmul-bound stages); decode stays weight-only.
     quantization: Optional[str] = None
+    # TPU-native extension: decode this many eval samples together in one
+    # vmapped loop (engine.generate_batch). Prefill stays sequential
+    # (MXU-bound); decode is HBM-bound so batching multiplies tokens/s.
+    # 1 = the reference's per-sample behavior.
+    eval_batch_size: int = 1
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -85,6 +90,7 @@ class RetakeConfig:
             "scaling_factor",
             "attn_implementation",
             "quantization",
+            "eval_batch_size",
             "dataset_name",
             "anno_file",
             "dataloader_num_workers",

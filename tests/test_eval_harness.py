@@ -144,3 +144,49 @@ def test_prefetch_iter_order_and_overlap():
     t_prefetch = time.perf_counter() - t0
     assert fetched == serial == [(i, i * 10) for i in idxs]
     assert t_prefetch < t_serial * 0.85, (t_prefetch, t_serial)
+
+
+def test_eval_harness_batched_matches_serial(fake_benchmark, tmp_path):
+    """eval_batch_size > 1: same answers as the per-sample loop (greedy
+    batched decode is token-exact), same journal/merge artifacts."""
+    anno_file, _ = fake_benchmark
+    cfg = TINY_TEST_CONFIG
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+
+    def build_rt(out, bs):
+        return RetakeConfig.from_dict(
+            {
+                "dataset_name": "videomme",
+                "max_new_tokens": 4,
+                "eval_batch_size": bs,
+                "output_dir": out,
+                "longvideo_kwargs": {"chunked_prefill_frames": 4,
+                                     "frame_chunk_size": 4},
+            }
+        )
+
+    engine = Qwen2VLEngine(cfg, params, build_rt(None, 1))
+    processor = Qwen2VLProcessor(
+        StubTokenizer(),
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        video_token_id=cfg.video_token_id,
+        patch_size=cfg.vision.patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        min_pixels=1,
+    )
+    dataset = BaseDataset(
+        anno_file,
+        processor_kwargs=dict(
+            video_fps=4, video_maxlen=8, image_resolution=84,
+            video_frame_extraction_fps=2,
+        ),
+    )
+    rt_serial = build_rt(str(tmp_path / "serial"), 1)
+    rt_batch = build_rt(str(tmp_path / "batch"), 3)  # 4 samples -> 3 + 1
+    done_serial = run_eval(engine, processor, dataset, rt_serial,
+                           rank=0, world=1)
+    done_batch = run_eval(engine, processor, dataset, rt_batch,
+                          rank=0, world=1)
+    assert done_batch == done_serial
