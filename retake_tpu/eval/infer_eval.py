@@ -182,13 +182,21 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
         return i, message, meta, inputs
 
     bs = max(1, int(getattr(rt, "eval_batch_size", 1)))
+    if bs > 1 and rt.do_sample:
+        # sampled draws in a batched loop depend on the request's batch slot
+        # (engine.generate_batch docstring), so resumed runs or a different
+        # eval_batch_size would change benchmark answers — keep sampling
+        # reproducible per sample
+        print("[eval] do_sample=true: forcing eval_batch_size=1 "
+              "(batched sampling draws depend on batch packing)")
+        bs = 1
     t_start = time.time()
     n_done = 0
     with open(shard_file, "a") as journal:
 
-        def journal_one(loaded, result):
+        def journal_one(sample, result):
             nonlocal n_done
-            i, message, meta, _ = loaded
+            i, message, meta = sample
             answer = trim_answer(processor.decode(result.tokens))
             meta = dict(meta)
             meta["question"] = meta.get("question", message["question"])
@@ -213,39 +221,48 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 rate = n_done / (time.time() - t_start)
                 print(f"[rank {rank}] {n_done}/{len(indices)} ({rate:.2f}/s)")
 
-        pending = []  # (loaded,) accumulated up to eval_batch_size
+        # (sample_meta, PrefillState) accumulated up to eval_batch_size;
+        # each sample is prefilled AS IT ARRIVES so its decoded pixel
+        # arrays (large, and this host's memory is glacial — CLAUDE.md)
+        # are dropped immediately; only device-side KV caches accumulate
+        pending = []
 
         def flush_batch():
             if not pending:
                 return
-            if len(pending) == 1:
-                inputs = pending[0][3]
-                results = [engine.generate(
-                    inputs["input_ids"],
-                    inputs["pixel_values_videos"],
-                    inputs["video_grid_thw"],
-                    max_new_tokens=rt.max_new_tokens,
-                )]
-            else:
-                reqs = [
-                    dict(
-                        input_ids=ld[3]["input_ids"],
-                        pixel_values_videos=ld[3]["pixel_values_videos"],
-                        video_grid_thw=ld[3]["video_grid_thw"],
-                    )
-                    for ld in pending
-                ]
-                results = engine.generate_batch(
-                    reqs, max_new_tokens=rt.max_new_tokens
-                )
-            for ld, res in zip(pending, results):
-                journal_one(ld, res)
+            from retake_tpu.runtime.engine import decode_batch
+
+            samples, states = zip(*pending)
+            results = decode_batch(
+                engine.params, getattr(engine.cfg, "text", engine.cfg),
+                rt, list(states), rt.max_new_tokens, engine.attn_impl,
+            )
+            for sample, res in zip(samples, results):
+                journal_one(sample, res)
             pending.clear()
 
         for _, loaded in prefetch_iter(
             indices, load, rt.dataloader_num_workers
         ):
-            pending.append(loaded)
+            i, message, meta, inputs = loaded
+            if bs == 1:
+                result = engine.generate(
+                    inputs["input_ids"],
+                    inputs["pixel_values_videos"],
+                    inputs["video_grid_thw"],
+                    max_new_tokens=rt.max_new_tokens,
+                )
+                journal_one((i, message, meta), result)
+                continue
+            state = engine.generate(
+                inputs["input_ids"],
+                inputs["pixel_values_videos"],
+                inputs["video_grid_thw"],
+                max_new_tokens=rt.max_new_tokens,
+                _prefill_only=True,
+            )
+            del inputs, loaded
+            pending.append(((i, message, meta), state))
             if len(pending) >= bs:
                 flush_batch()
         flush_batch()

@@ -109,6 +109,19 @@ _LINEAR_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
 _VIT_BLOCK_KEYS = ("qkv", "proj", "fc1", "fc2")
 
 
+def _quantize_keys(tree: dict, keys) -> dict:
+    """Copy ``tree`` with each ``tree[key]`` linear ({'w', ...}) replaced by
+    its int8 {'w', 'scale'} form (biases and other leaves preserved)."""
+    out = dict(tree)
+    for key in keys:
+        lp = dict(out[key])
+        qd = quantize_weight(lp["w"])
+        lp["w"] = qd["w"]
+        lp["scale"] = qd["scale"]
+        out[key] = lp
+    return out
+
+
 def quantize_llm_int8(params: dict) -> dict:
     """Quantize the decoder linears + lm_head + embedding of a param pytree
     (Qwen2-VL or LLaVA layout). Norms, biases and the vision tower stay bf16
@@ -120,14 +133,7 @@ def quantize_llm_int8(params: dict) -> dict:
     @jax.jit
     def _quant(p):
         out = dict(p)
-        layers = dict(p["layers"])
-        for key in _LINEAR_KEYS:
-            lp = dict(layers[key])
-            qd = quantize_weight(lp["w"])
-            lp["w"] = qd["w"]
-            lp["scale"] = qd["scale"]
-            layers[key] = lp
-        out["layers"] = layers
+        out["layers"] = _quantize_keys(p["layers"], _LINEAR_KEYS)
         out["embed_tokens"] = quantize_embedding(p["embed_tokens"])
         if "lm_head" in p:
             out["lm_head"] = quantize_weight(p["lm_head"])
@@ -146,22 +152,8 @@ def quantize_vit_int8(visual: dict) -> dict:
     @jax.jit
     def _quant(p):
         out = dict(p)
-        blocks = dict(p["blocks"])
-        for key in _VIT_BLOCK_KEYS:
-            lp = dict(blocks[key])
-            qd = quantize_weight(lp["w"])
-            lp["w"] = qd["w"]
-            lp["scale"] = qd["scale"]
-            blocks[key] = lp
-        out["blocks"] = blocks
-        merger = dict(p["merger"])
-        for key in ("fc1", "fc2"):
-            lp = dict(merger[key])
-            qd = quantize_weight(lp["w"])
-            lp["w"] = qd["w"]
-            lp["scale"] = qd["scale"]
-            merger[key] = lp
-        out["merger"] = merger
+        out["blocks"] = _quantize_keys(p["blocks"], _VIT_BLOCK_KEYS)
+        out["merger"] = _quantize_keys(p["merger"], ("fc1", "fc2"))
         return out
 
     return _quant(visual)
@@ -176,23 +168,13 @@ def quantize_siglip_int8(params: dict) -> dict:
     def _quant(p):
         out = dict(p)
         vt = dict(p["vision_tower"])
-        blocks = dict(vt["blocks"])
-        for key in ("q", "k", "v", "out", "fc1", "fc2"):
-            lp = dict(blocks[key])
-            qd = quantize_weight(lp["w"])
-            lp["w"] = qd["w"]
-            lp["scale"] = qd["scale"]
-            blocks[key] = lp
-        vt["blocks"] = blocks
+        vt["blocks"] = _quantize_keys(
+            vt["blocks"], ("q", "k", "v", "out", "fc1", "fc2")
+        )
         out["vision_tower"] = vt
-        proj = dict(p["projector"])
-        for key in ("linear_1", "linear_2"):
-            lp = dict(proj[key])
-            qd = quantize_weight(lp["w"])
-            lp["w"] = qd["w"]
-            lp["scale"] = qd["scale"]
-            proj[key] = lp
-        out["projector"] = proj
+        out["projector"] = _quantize_keys(
+            p["projector"], ("linear_1", "linear_2")
+        )
         return out
 
     return _quant(params)

@@ -44,6 +44,11 @@ BUDGET_BUCKET = 8192  # cache budgets rounded up to a multiple of this
 SCAN_BLOCK = 8  # video chunks fused per compiled scan dispatch
 
 
+def _attn_bucket(fill: int) -> int:
+    """Static attention-window bucket covering a given cache fill level."""
+    return max(BUDGET_BUCKET, math.ceil(fill / BUDGET_BUCKET) * BUDGET_BUCKET)
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "grid_t", "grid_h", "grid_w", "act_quant"),
@@ -202,6 +207,12 @@ def _decode_loop(
     still run (static trip count) but their tokens are masked to EOS and
     trimmed by the host. Greedy by default; ``sampling`` switches to a
     seeded sampler (config ``do_sample``).
+
+    Deliberately NOT implemented as _decode_loop_batch at B=1: the unit
+    batch dim measured 6.50 vs 5.30 ms/tok at 2B (leading-dim overhead in
+    the vmapped step), and TPOT is the serving hot path. The
+    batch-vs-sequential parity tests (tests/test_engine.py) pin the two
+    loops' greedy semantics together.
     """
 
     def body(carry, i):
@@ -295,12 +306,14 @@ def _decode_loop_batch(
 ):
     """Batched decode: one scanned loop, requests vmapped inside each step.
 
-    Decode is HBM-bandwidth-bound (weight reads dominate at batch 1), so
-    batching requests into one dispatch amortizes the weight streaming —
-    near-linear aggregate tokens/s until the batch's KV reads catch up with
-    the weight reads. ``caches`` is a KVCache pytree with a leading batch
-    axis (per-request ``length`` rides along as a [B] vector); params are
-    closed over and broadcast.
+    One dispatch for all steps (per-step host round-trips cost ~300 ms each
+    through remote-tunnel TPU backends); steps after a request's EOS still
+    run (static trip count) but its tokens are masked to EOS and trimmed by
+    the host. Decode is HBM-bandwidth-bound (weight reads dominate at batch
+    1), so batching requests amortizes the weight streaming — measured 2B
+    aggregate 189/263/410/590 tok/s at B=1/2/4/8. ``caches`` is a KVCache
+    pytree with a leading batch axis (per-request ``length`` rides along as
+    a [B] vector); params are closed over and broadcast.
     """
 
     def body(carry, i):
@@ -376,8 +389,7 @@ class GenerationResult:
 @dataclasses.dataclass
 class PrefillState:
     """Everything batched decode needs from one request's prefill."""
-    cache: object  # KVCache
-    first_token: jax.Array  # scalar int32 (on device)
+    cache: object  # KVCache (consumed — set to None — by decode_batch)
     first_token_host: int
     decode_pos_base: int
     final_len: int
@@ -477,16 +489,22 @@ class Qwen2VLEngine:
     ) -> List[GenerationResult]:
         """Serve several requests: sequential prefill, batched decode.
 
-        Each request is a dict of ``generate`` kwargs. Prefill is MXU-bound
-        at batch 1 (large chunk matmuls), so requests prefill back-to-back;
-        decode is HBM-bound, so all requests then decode together in one
-        vmapped scan (near-linear aggregate tokens/s in the batch size).
-        Greedy decode is token-exact vs per-request ``generate``.
+        Each request is a dict of ``generate`` kwargs (a per-request
+        ``max_new_tokens`` is overridden — the batch decodes a uniform step
+        count). Prefill is MXU-bound at batch 1 (large chunk matmuls), so
+        requests prefill back-to-back; decode is HBM-bound, so all requests
+        then decode together in one vmapped scan. Greedy decode is
+        token-exact vs per-request ``generate``; with ``do_sample`` the
+        draws are deterministic under a fixed seed but depend on a
+        request's slot in the batch (they differ from sequential calls).
         """
+        if not requests:
+            return []
         max_new_tokens = max_new_tokens or self.retake.max_new_tokens
         states = [
-            self.generate(**req, max_new_tokens=max_new_tokens,
-                          _prefill_only=True)
+            self.generate(**{k: v for k, v in req.items()
+                             if k != "max_new_tokens"},
+                          max_new_tokens=max_new_tokens, _prefill_only=True)
             for req in requests
         ]
         return decode_batch(
@@ -645,8 +663,7 @@ def prefill_and_decode(
         assert tp == "text"
         prompt_span = (sp, ep)
 
-    def attn_bucket(fill: int) -> int:
-        return max(BUDGET_BUCKET, math.ceil(fill / BUDGET_BUCKET) * BUDGET_BUCKET)
+    attn_bucket = _attn_bucket
 
     plan: List[dict] = []
     cache_len = 0
@@ -824,7 +841,7 @@ def prefill_and_decode(
             stages=dict(timer.totals) if timer.totals else None,
         )
         return PrefillState(
-            cache=kv, first_token=token, first_token_host=token_host,
+            cache=kv, first_token_host=token_host,
             decode_pos_base=decode_pos_base, final_len=final_len,
             reforge=reforge, result=result,
         )
@@ -858,6 +875,19 @@ def prefill_and_decode(
     )
 
 
+@partial(jax.jit, donate_argnames=("caches",))
+def _insert_batch_slot(caches, cache, slot):
+    """Write one request's KVCache into batch slot ``slot`` in place
+    (donated), so batched-cache assembly peaks at aggregate + ONE request
+    instead of 2x aggregate."""
+    return jax.tree.map(
+        lambda buf, x: jax.lax.dynamic_update_index_in_dim(
+            buf, x, slot, axis=0
+        ),
+        caches, cache,
+    )
+
+
 def decode_batch(
     params,
     cfg: Qwen2VLConfig,  # text config
@@ -870,18 +900,19 @@ def decode_batch(
 
     Grows every cache to the batch's max budget, stacks the KVCache pytrees
     along a new leading axis, and runs one vmapped scanned decode loop.
+    Stacking is incremental with donation — a plain ``jnp.stack`` over all
+    grown caches would hold ~2x the aggregate KV bytes alive at once and
+    OOM batch sizes whose steady-state footprint fits fine — and consumes
+    each state's cache (``st.cache`` becomes None).
     """
     import time
 
+    if not states:
+        return []
     reforge = states[0].reforge
     budget = max(st.cache.budget for st in states)
     attn_need = max(
-        min(
-            max(BUDGET_BUCKET,
-                math.ceil((st.final_len + max_new_tokens) / BUDGET_BUCKET)
-                * BUDGET_BUCKET),
-            budget,
-        )
+        min(_attn_bucket(st.final_len + max_new_tokens), budget)
         for st in states
     )
 
@@ -892,11 +923,18 @@ def decode_batch(
         if st.first_token_host != cfg.eos_token_id
     ]
     if max_new_tokens > 1 and live:
-        caches = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *(cache_lib.grow_cache(states[i].cache, budget) for i in live),
-        )
-        for st in states:  # free per-request buffers once stacked
+        caches = None
+        for bi, i in enumerate(live):
+            grown = cache_lib.grow_cache(states[i].cache, budget)
+            states[i].cache = None  # free the source as soon as it's copied
+            if caches is None:
+                caches = jax.tree.map(
+                    lambda x: jnp.zeros((len(live),) + x.shape, x.dtype),
+                    grown,
+                )
+            caches = _insert_batch_slot(caches, grown, jnp.int32(bi))
+            del grown
+        for st in states:
             st.cache = None
         first = jnp.asarray([states[i].first_token_host for i in live], jnp.int32)
         pos_bases = jnp.asarray(

@@ -396,7 +396,12 @@ def test_generate_batch_matches_sequential(tiny, rng):
 
 
 def test_generate_batch_eos_first_token(tiny, rng):
-    """A request whose first token is EOS must not join the decode batch."""
+    """A request whose first token is EOS must not join the decode batch —
+    including the all-finished case where NO batched loop runs at all.
+    Forced by redefining eos_token_id to whatever token the model actually
+    emits first (random weights never emit the real EOS id)."""
+    import dataclasses
+
     _, cfg, params = tiny
     rt = RetakeConfig.from_dict(
         {"longvideo_kwargs": {"chunked_prefill_frames": 2,
@@ -404,11 +409,32 @@ def test_generate_batch_eos_first_token(tiny, rng):
     )
     engine = Qwen2VLEngine(cfg, params, rt)
     ids, patches, grid = make_video_request(cfg, rng)
-    r_single = engine.generate(ids, patches, grid, max_new_tokens=5)
-    batch = engine.generate_batch(
-        [dict(input_ids=ids, pixel_values_videos=patches,
-              video_grid_thw=grid)] * 2,
+    first = int(engine.generate(ids, patches, grid, max_new_tokens=1).tokens[0])
+
+    cfg_eos = dataclasses.replace(cfg, eos_token_id=first)
+    eng_eos = Qwen2VLEngine(cfg_eos, params, rt)
+    req = dict(input_ids=ids, pixel_values_videos=patches,
+               video_grid_thw=grid)
+    # all requests finish at the first token -> live=[] -> no decode loop
+    batch = eng_eos.generate_batch([req, req], max_new_tokens=5)
+    for b in batch:
+        np.testing.assert_array_equal(b.tokens, [first])
+
+    # mixed batch: one EOS-at-first request + one live request; the live
+    # one must match its sequential tokens, the EOS one stays length 1
+    ids2, patches2, grid2 = make_video_request(cfg, rng, grid_t=4)
+    eng_mixed = Qwen2VLEngine(cfg, params, rt)  # real eos id: nothing stops
+    seq2 = eng_mixed.generate(ids2, patches2, grid2, max_new_tokens=5)
+    first2 = int(seq2.tokens[0])
+    assert first2 != first, "distinct requests should differ here"
+    cfg_eos1 = dataclasses.replace(cfg, eos_token_id=first)
+    eng = Qwen2VLEngine(cfg_eos1, params, rt)
+    seq2_eos = eng.generate(ids2, patches2, grid2, max_new_tokens=5)
+    batch = eng.generate_batch(
+        [req, dict(input_ids=ids2, pixel_values_videos=patches2,
+                   video_grid_thw=grid2)],
         max_new_tokens=5,
     )
-    for b in batch:
-        np.testing.assert_array_equal(b.tokens, r_single.tokens)
+    np.testing.assert_array_equal(batch[0].tokens, [first])
+    np.testing.assert_array_equal(batch[1].tokens, seq2_eos.tokens)
+    assert engine.generate_batch([]) == []
