@@ -438,3 +438,25 @@ def test_generate_batch_eos_first_token(tiny, rng):
     np.testing.assert_array_equal(batch[0].tokens, [first])
     np.testing.assert_array_equal(batch[1].tokens, seq2_eos.tokens)
     assert engine.generate_batch([]) == []
+
+
+def test_generate_batch_mixed_text_only_and_video(tiny, rng):
+    """A text-only request (no video) batches with video requests; batched
+    greedy tokens match sequential for both."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    ids_v, patches, grid = make_video_request(cfg, rng)
+    ids_t = rng.integers(10, 500, size=9).astype(np.int64)
+    reqs = [
+        dict(input_ids=ids_v, pixel_values_videos=patches,
+             video_grid_thw=grid),
+        dict(input_ids=ids_t),
+    ]
+    seq = [engine.generate(**r, max_new_tokens=5) for r in reqs]
+    batch = engine.generate_batch(reqs, max_new_tokens=5)
+    for b, s in zip(batch, seq):
+        np.testing.assert_array_equal(b.tokens, s.tokens)
