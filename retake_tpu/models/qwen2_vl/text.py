@@ -283,6 +283,92 @@ def decoder_chunk(
     return carry[0], new_cache
 
 
+def decode_step_batch(
+    params: dict,
+    cfg: Qwen2VLConfig,
+    k_all: jax.Array,  # [L, B, KV, S_attn, D] batched gap-layout key cache
+    v_all: jax.Array,
+    hidden: jax.Array,  # [B, d] current-token embeddings
+    base_t: jax.Array,  # [L, B] int32 per-layer temporal position base
+    pos_rest: jax.Array,  # [B] int32 — M-RoPE rows 1/2 position this step
+    final_len: jax.Array,  # [B] int32 prefill lengths
+    gap_start: jax.Array,  # scalar int32 — uniform decode-region base slot
+    gap_filled: jax.Array,  # scalar int32 — decode steps already written
+):
+    """One batched decode step: linears run directly on [B, d] rows and
+    attention on batched einsums (no vmap), over gap-layout caches
+    (ops/attention.decode_attention_batch_gapped).
+
+    Positions are continued analytically: layer l's temporal row is
+    ``base_t[l] + gap_filled`` — the same value the single-request path
+    derives by reading the layer's position cache each step (the
+    discontinuity fix, reference qwen2_vl.py:67-73), but without the
+    per-step [L, budget] position reads. Rows 1/2 stay ``pos_rest``
+    (decode positions from the pre-compression length). Returns
+    (hidden_out [B, d], k_blocks [L, B, KV, D], v_blocks) — the caller
+    writes the blocks at the uniform slot.
+    """
+    inv_freq_np, attention_scaling = cfg.rope_params()
+    inv_freq = jnp.asarray(inv_freq_np)
+    h_dim, kv_heads = cfg.head_dim, cfg.num_key_value_heads
+    n_heads = cfg.num_attention_heads
+    b = hidden.shape[0]
+
+    def body(hidden, xs):
+        lp, ck, cv, bt = xs
+        x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
+        q = _linear(x, lp["q"]).reshape(b, n_heads, h_dim)
+        k = _linear(x, lp["k"]).reshape(b, kv_heads, h_dim)
+        v = _linear(x, lp["v"]).reshape(b, kv_heads, h_dim)
+
+        row0 = bt + gap_filled  # [B]
+        if cfg.mrope_section is None:
+            cos, sin = rope.compute_cos_sin(
+                inv_freq, row0, attention_scaling, hidden.dtype
+            )  # [B, D]
+        else:
+            pos3 = jnp.stack([row0, pos_rest, pos_rest])  # [3, B]
+            cos3, sin3 = rope.compute_cos_sin(
+                inv_freq, pos3, attention_scaling, hidden.dtype
+            )  # [3, B, D]
+            cos = rope.select_mrope(cos3, cfg.mrope_section)
+            sin = rope.select_mrope(sin3, cfg.mrope_section)
+        cos_b, sin_b = cos[:, None, :], sin[:, None, :]  # broadcast heads
+        q_rot = rope.apply_rope(q, cos_b, sin_b)
+        k_rot = rope.apply_rope(k, cos_b, sin_b)
+
+        attn = attn_ops.decode_attention_batch_gapped(
+            q_rot, ck, cv, final_len, gap_start, gap_filled, k_rot, v
+        )
+        hidden = hidden + _linear(attn.reshape(b, n_heads * h_dim), lp["o"])
+        x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
+        mlp = _linear(
+            jax.nn.silu(_linear(x2, lp["gate"])) * _linear(x2, lp["up"]),
+            lp["down"],
+        )
+        return hidden + mlp, (k_rot, v)
+
+    hidden, (k_blocks, v_blocks) = jax.lax.scan(
+        body, hidden, (params["layers"], k_all, v_all, base_t)
+    )
+    return hidden, k_blocks, v_blocks
+
+
+def final_logits_batch(params: dict, cfg: Qwen2VLConfig, hidden: jax.Array):
+    """Final RMSNorm + LM head on a batch of hidden states [B, d] -> [B, V]."""
+    h = rms_norm(hidden, params["final_ln"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is not None:
+        logits = _linear(h, head) if isinstance(head, dict) else h @ head
+    else:  # tied embeddings
+        e = params["embed_tokens"]
+        if isinstance(e, dict):
+            logits = (h @ e["w"].T.astype(h.dtype)) * e["scale"].astype(h.dtype)
+        else:
+            logits = h @ e.T
+    return logits.astype(jnp.float32)
+
+
 def final_logits(params: dict, cfg: Qwen2VLConfig, hidden_last: jax.Array):
     """Final RMSNorm + LM head on a single token's hidden state [d] -> [V]."""
     h = rms_norm(hidden_last[None, :], params["final_ln"], cfg.rms_norm_eps)[0]

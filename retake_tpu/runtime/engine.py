@@ -292,57 +292,65 @@ def _video_segment_scan(
 
 @partial(
     jax.jit,
-    donate_argnames=("caches",),
-    static_argnames=(
-        "cfg", "num_steps", "reforge", "attn_impl", "attn_budget", "sampling"
-    ),
+    donate_argnames=("k_all", "v_all"),
+    static_argnames=("cfg", "num_steps", "sampling"),
 )
 def _decode_loop_batch(
-    params, cfg: Qwen2VLConfig, caches, first_tokens, pos_bases,
-    num_steps: int, reforge: bool, attn_impl: str,
-    attn_budget: int | None = None,
+    params, cfg: Qwen2VLConfig, k_all, v_all, base_t, pos_bases,
+    final_len, gap_start, first_tokens,
+    num_steps: int,
     sampling: Optional[Tuple] = None,
     rng_keys=None,
 ):
-    """Batched decode: one scanned loop, requests vmapped inside each step.
+    """Batched decode: one scanned loop, the per-request step fully batched.
 
     One dispatch for all steps (per-step host round-trips cost ~300 ms each
     through remote-tunnel TPU backends); steps after a request's EOS still
     run (static trip count) but its tokens are masked to EOS and trimmed by
     the host. Decode is HBM-bandwidth-bound (weight reads dominate at batch
-    1), so batching requests amortizes the weight streaming — measured 2B
-    aggregate 189/263/410/590 tok/s at B=1/2/4/8. ``caches`` is a KVCache
-    pytree with a leading batch axis (per-request ``length`` rides along as
-    a [B] vector); params are closed over and broadcast.
+    1), so batching requests amortizes the weight streaming.
+
+    ``k_all``/``v_all`` are [L, B, KV, S_attn, D] gap-layout caches: every
+    request's step-i token writes at the batch-UNIFORM slot
+    ``gap_start + i``, making the append a single aliasable
+    dynamic_update_slice. (The previous vmapped per-request-offset append
+    lowered to a scatter that rewrote the whole batched cache every step:
+    13.2 -> 7.4 ms/step at B=8 with the append ablated.) Positions continue
+    analytically from ``base_t`` (see text.decode_step_batch).
     """
 
     def body(carry, i):
-        tokens, caches, done = carry
-
-        def one(token, cache, pos_base, key):
-            emb = text.embed(params, token[None])
-            pos3 = jnp.broadcast_to(pos_base + i, (3, 1)).astype(jnp.int32)
-            hidden, cache = text.decoder_chunk(
-                params, cfg, cache, emb, pos3, jnp.int32(1),
-                jnp.zeros(1, bool), jnp.int32(1),
-                compress=False, reforge=reforge, attn_impl=attn_impl,
-                attn_budget=attn_budget,
-            )
-            logits = text.final_logits(params, cfg, hidden[0])
-            k = None if sampling is None else jax.random.fold_in(key, i)
-            return _select_token(logits, k, sampling), cache
-
-        nxt, caches = jax.vmap(one)(tokens, caches, pos_bases, rng_keys)
+        tokens, k_all, v_all, done = carry
+        emb = text.embed(params, tokens)  # [B, d]
+        hidden, kb, vb = text.decode_step_batch(
+            params, cfg, k_all, v_all, emb, base_t, pos_bases + i,
+            final_len, gap_start, i,
+        )
+        logits = text.final_logits_batch(params, cfg, hidden)  # [B, V]
+        if sampling is None:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            keys = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(rng_keys)
+            nxt = jax.vmap(
+                lambda lg, kk: _select_token(lg, kk, sampling)
+            )(logits, keys)
         nxt = jnp.where(done, jnp.int32(cfg.eos_token_id), nxt)
         done = done | (nxt == cfg.eos_token_id)
-        return (nxt, caches, done), nxt
+        off = gap_start + i
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, kb[:, :, :, None, :], (0, 0, 0, off, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, vb[:, :, :, None, :], (0, 0, 0, off, 0)
+        )
+        return (nxt, k_all, v_all, done), nxt
 
     first_tokens = first_tokens.astype(jnp.int32)
     done0 = first_tokens == cfg.eos_token_id
-    (_, caches, _), tokens = jax.lax.scan(
-        body, (first_tokens, caches, done0), jnp.arange(num_steps)
+    (_, _, _, _), tokens = jax.lax.scan(
+        body, (first_tokens, k_all, v_all, done0), jnp.arange(num_steps)
     )
-    return tokens, caches  # tokens [num_steps, B]
+    return tokens  # [num_steps, B]
 
 
 @partial(jax.jit, static_argnames=("cfg", "sampling"))
@@ -875,17 +883,12 @@ def prefill_and_decode(
     )
 
 
-@partial(jax.jit, donate_argnames=("caches",))
-def _insert_batch_slot(caches, cache, slot):
-    """Write one request's KVCache into batch slot ``slot`` in place
-    (donated), so batched-cache assembly peaks at aggregate + ONE request
-    instead of 2x aggregate."""
-    return jax.tree.map(
-        lambda buf, x: jax.lax.dynamic_update_index_in_dim(
-            buf, x, slot, axis=0
-        ),
-        caches, cache,
-    )
+@partial(jax.jit, donate_argnames=("buf",))
+def _insert_batch_slot(buf, x, slot):
+    """Write one request's cache array into batch slot ``slot`` (axis 1) in
+    place (donated), so batched-cache assembly peaks at aggregate + ONE
+    request instead of 2x aggregate."""
+    return jax.lax.dynamic_update_index_in_dim(buf, x, slot, axis=1)
 
 
 def decode_batch(
@@ -894,27 +897,22 @@ def decode_batch(
     rt: RetakeConfig,
     states: List[PrefillState],
     max_new_tokens: int,
-    attn_impl: str,
+    attn_impl: str = "pallas",  # unused: batched decode has one (XLA) path
 ) -> List[GenerationResult]:
     """Batched decode over prefilled requests (see Engine.generate_batch).
 
-    Grows every cache to the batch's max budget, stacks the KVCache pytrees
-    along a new leading axis, and runs one vmapped scanned decode loop.
-    Stacking is incremental with donation — a plain ``jnp.stack`` over all
-    grown caches would hold ~2x the aggregate KV bytes alive at once and
-    OOM batch sizes whose steady-state footprint fits fine — and consumes
-    each state's cache (``st.cache`` becomes None).
+    Assembles [L, B, KV, S_attn, D] gap-layout caches (each request's valid
+    prefill occupies [0, final_len); all requests' decode tokens share the
+    uniform region starting at max(final_len)) and runs one scanned batched
+    decode loop. Assembly is incremental with donation so peak HBM is the
+    batched cache + ONE request, and it consumes each state's cache
+    (``st.cache`` becomes None).
     """
     import time
 
     if not states:
         return []
     reforge = states[0].reforge
-    budget = max(st.cache.budget for st in states)
-    attn_need = max(
-        min(_attn_bucket(st.final_len + max_new_tokens), budget)
-        for st in states
-    )
 
     t0 = time.perf_counter()
     out_tokens = [[st.first_token_host] for st in states]
@@ -923,22 +921,48 @@ def decode_batch(
         if st.first_token_host != cfg.eos_token_id
     ]
     if max_new_tokens > 1 and live:
-        caches = None
+        gap_start = max(states[i].final_len for i in live)
+        attn_need = _attn_bucket(gap_start + max_new_tokens)
+        nb = len(live)
+        k_all = v_all = None
+        base_cols = []
         for bi, i in enumerate(live):
-            grown = cache_lib.grow_cache(states[i].cache, budget)
-            states[i].cache = None  # free the source as soon as it's copied
-            if caches is None:
-                caches = jax.tree.map(
-                    lambda x: jnp.zeros((len(live),) + x.shape, x.dtype),
-                    grown,
+            c = states[i].cache
+            fl = states[i].final_len
+            if reforge:
+                # per-layer temporal continuation base (the discontinuity
+                # fix the single-request path re-reads per step)
+                base_cols.append(c.pos[:, 0, fl - 1] + 1)
+            else:
+                base_cols.append(
+                    jnp.full(
+                        (c.k.shape[0],), states[i].decode_pos_base, jnp.int32
+                    )
                 )
-            caches = _insert_batch_slot(caches, grown, jnp.int32(bi))
-            del grown
+            ks = c.k[:, :, :attn_need]  # [L, KV, <=S_attn, D]
+            vs = c.v[:, :, :attn_need]
+            states[i].cache = None  # free the full buffer
+            if ks.shape[2] < attn_need:
+                pad = ((0, 0), (0, 0), (0, attn_need - ks.shape[2]), (0, 0))
+                ks, vs = jnp.pad(ks, pad), jnp.pad(vs, pad)
+            # [L, B, KV, S_attn, D]: L leads for the layer scan
+            if k_all is None:
+                k_all = jnp.zeros(
+                    (ks.shape[0], nb) + ks.shape[1:], ks.dtype
+                )
+                v_all = jnp.zeros_like(k_all)
+            k_all = _insert_batch_slot(k_all, ks, jnp.int32(bi))
+            v_all = _insert_batch_slot(v_all, vs, jnp.int32(bi))
+            del ks, vs
         for st in states:
             st.cache = None
+        base_t = jnp.stack(base_cols, axis=1).astype(jnp.int32)  # [L, B]
         first = jnp.asarray([states[i].first_token_host for i in live], jnp.int32)
         pos_bases = jnp.asarray(
             [states[i].decode_pos_base for i in live], jnp.int32
+        )
+        final_lens = jnp.asarray(
+            [states[i].final_len for i in live], jnp.int32
         )
         sampling = None
         if rt.do_sample:
@@ -950,11 +974,12 @@ def decode_batch(
         base_key = jax.random.key(int(getattr(rt, "seed", 0)))
         rng_loop = jax.random.fold_in(base_key, 1)
         rng_keys = jax.vmap(lambda b: jax.random.fold_in(rng_loop, b))(
-            jnp.arange(len(live))
+            jnp.arange(nb)
         )
-        tokens, _ = _decode_loop_batch(
-            params, cfg, caches, first, pos_bases, max_new_tokens - 1,
-            reforge, attn_impl, attn_need, sampling, rng_keys,
+        tokens = _decode_loop_batch(
+            params, cfg, k_all, v_all, base_t, pos_bases, final_lens,
+            jnp.int32(gap_start), first, max_new_tokens - 1,
+            sampling, rng_keys,
         )
         tokens = np.asarray(tokens)  # [steps, B]
         for bi, i in enumerate(live):
