@@ -295,7 +295,7 @@ def main():
         # the reference's headline claim is the memory budget (README.md:3)
         "kv_cache_reduction": round(cache_base / max(cache_retake, 1), 2),
         # batched serving (generate_batch): decode is HBM-bound, so batching
-        # requests into one vmapped loop multiplies aggregate tokens/s
+        # requests into one scanned gap-layout loop multiplies tokens/s
         "decode_tok_s_single": round(tok_s_single, 1),
         "decode_tok_s_batch4": round(tok_s_batch, 1),
         "ttft_retake_4096f_s": round(t_retake_4k, 3),

@@ -161,6 +161,7 @@ def _layer(
             q_s, k_s = q_rot, k_rot
 
     if s == 1:
+        # KEEP IN SYNC with decode_step_batch (the batched decode fork)
         if attn_impl == "xla":
             attn_out = attn_ops.chunk_prefill_attention(
                 q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
@@ -307,6 +308,12 @@ def decode_step_batch(
     (decode positions from the pre-compression length). Returns
     (hidden_out [B, d], k_blocks [L, B, KV, D], v_blocks) — the caller
     writes the blocks at the uniform slot.
+
+    KEEP IN SYNC with the s==1 decode path of ``_layer`` above (greedy
+    batched-vs-sequential parity is pinned by tests/test_engine.py): same
+    rms/rope/attention-merge/mlp numerics. int8 weights take the exact
+    weight-only dequant in ``_linear`` — decode is HBM-bound, W8A8
+    activation quant is prefill-only by design.
     """
     inv_freq_np, attention_scaling = cfg.rope_params()
     inv_freq = jnp.asarray(inv_freq_np)

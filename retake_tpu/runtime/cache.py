@@ -62,17 +62,6 @@ def init_cache(
     )
 
 
-def grow_cache(cache: KVCache, new_budget: int) -> KVCache:
-    """Host-side bucket growth: copy into a larger zero buffer."""
-    if new_budget <= cache.budget:
-        return cache
-    l, kv, b, d = cache.k.shape
-    k = jnp.zeros((l, kv, new_budget, d), cache.k.dtype).at[:, :, :b].set(cache.k)
-    v = jnp.zeros((l, kv, new_budget, d), cache.v.dtype).at[:, :, :b].set(cache.v)
-    pos = jnp.zeros((l, 3, new_budget), jnp.int32).at[:, :, :b].set(cache.pos)
-    return KVCache(k=k, v=v, pos=pos, length=cache.length)
-
-
 def append_blocks(
     cache: KVCache,
     k_blocks: jax.Array,  # [layers, kv_heads, S, head_dim]

@@ -347,10 +347,13 @@ def _decode_loop_batch(
 
     first_tokens = first_tokens.astype(jnp.int32)
     done0 = first_tokens == cfg.eos_token_id
-    (_, _, _, _), tokens = jax.lax.scan(
+    (_, k_all, v_all, _), tokens = jax.lax.scan(
         body, (first_tokens, k_all, v_all, done0), jnp.arange(num_steps)
     )
-    return tokens  # [num_steps, B]
+    # the caches must be RETURNED for the donation to be usable — otherwise
+    # XLA keeps the input buffers alive next to the scan-carry copy and peak
+    # HBM doubles (callers discard them)
+    return tokens, k_all, v_all  # tokens [num_steps, B]
 
 
 @partial(jax.jit, static_argnames=("cfg", "sampling"))
@@ -501,10 +504,15 @@ class Qwen2VLEngine:
         ``max_new_tokens`` is overridden — the batch decodes a uniform step
         count). Prefill is MXU-bound at batch 1 (large chunk matmuls), so
         requests prefill back-to-back; decode is HBM-bound, so all requests
-        then decode together in one vmapped scan. Greedy decode is
-        token-exact vs per-request ``generate``; with ``do_sample`` the
-        draws are deterministic under a fixed seed but depend on a
-        request's slot in the batch (they differ from sequential calls).
+        then decode together in one scanned batched loop over gap-layout
+        caches (engine.decode_batch). Greedy decode is token-exact vs
+        per-request ``generate`` for the default attention impls
+        ("pallas"/"flash", whose single-request decode uses the identical
+        append-free softmax merge); the "xla" debug impl decodes through a
+        different fp32 reduction order and may diverge within ulps. With
+        ``do_sample`` the draws are deterministic under a fixed seed but
+        depend on a request's slot in the batch (they differ from
+        sequential calls).
         """
         if not requests:
             return []
@@ -720,9 +728,18 @@ def prefill_and_decode(
     kp_pad = np.zeros(s_pad, dtype=bool)
     kp_pad[:s] = keypatch_tokens
 
-    vstart = int(np.where(ids == video_token_id)[0][0]) if (
-        video_embeds is not None
-    ) else 0
+    if video_embeds is not None:
+        n_video_tokens = int(np.sum(ids == video_token_id))
+        if n_video_tokens != video_embeds.shape[0]:
+            # parity with the reference's explicit error
+            # (retake/qwen2_vl.py:649-653)
+            raise ValueError(
+                "Video features and video tokens do not match: tokens: "
+                f"{n_video_tokens}, features {video_embeds.shape[0]}"
+            )
+        vstart = int(np.where(ids == video_token_id)[0][0])
+    else:
+        vstart = 0
     embeds = _build_embeds(
         params, cfg, jnp.asarray(ids_dev),
         None if video_embeds is None else video_embeds,
@@ -976,11 +993,12 @@ def decode_batch(
         rng_keys = jax.vmap(lambda b: jax.random.fold_in(rng_loop, b))(
             jnp.arange(nb)
         )
-        tokens = _decode_loop_batch(
+        tokens, k_all, v_all = _decode_loop_batch(
             params, cfg, k_all, v_all, base_t, pos_bases, final_lens,
             jnp.int32(gap_start), first, max_new_tokens - 1,
             sampling, rng_keys,
         )
+        del k_all, v_all  # returned only so the donation aliases
         tokens = np.asarray(tokens)  # [steps, B]
         for bi, i in enumerate(live):
             col = tokens[:, bi]

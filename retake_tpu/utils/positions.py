@@ -85,7 +85,15 @@ def get_rope_index(
         pieces.append(np.broadcast_to(rng, (3, s - st)).copy())
 
     pos = np.concatenate(pieces, axis=1).astype(np.int32)
-    assert pos.shape[1] == s, (pos.shape, s)
+    if pos.shape[1] != s:
+        # grid-implied vision token count disagrees with the token stream —
+        # the reference raises this explicitly (retake/qwen2_vl.py:634-637,
+        # 649-653) instead of mis-scattering silently
+        raise ValueError(
+            "Vision features and vision tokens do not match: positions for "
+            f"{pos.shape[1]} tokens vs sequence length {s} "
+            "(check image/video_grid_thw against the placeholder counts)"
+        )
     return pos, int(pos.max()) + 1 - s
 
 

@@ -460,3 +460,15 @@ def test_generate_batch_mixed_text_only_and_video(tiny, rng):
     batch = engine.generate_batch(reqs, max_new_tokens=5)
     for b, s in zip(batch, seq):
         np.testing.assert_array_equal(b.tokens, s.tokens)
+
+
+def test_video_token_feature_mismatch_raises(tiny, rng):
+    """Reference parity: mismatched video token count vs ViT features is an
+    explicit error (retake/qwen2_vl.py:649-653), not a silent bad scatter."""
+    _, cfg, params = tiny
+    # ids carry a 2-frame video span but the pixel grid says 4 frames
+    ids, _, _ = make_video_request(cfg, rng, grid_t=2)
+    _, patches4, grid4 = make_video_request(cfg, rng, grid_t=4)
+    engine = Qwen2VLEngine(cfg, params, RetakeConfig())
+    with pytest.raises(ValueError, match="do not match"):
+        engine.generate(ids, patches4, grid4, max_new_tokens=2)

@@ -38,7 +38,7 @@ def main():
         n = sum(len(x.tokens) - 1 for x in out)
         dt = out[0].decode_seconds
         print(f"B={b}: {n / dt:7.1f} tok/s "
-              f"({dt / (n / b) * 1e3 / b:.2f} ms/step/req)", flush=True)
+              f"({dt / (n / b) * 1e3:.2f} ms/step)", flush=True)
 
 
 if __name__ == "__main__":
