@@ -214,7 +214,7 @@ def bench_batch_decode(engine, cfg, n_requests=4, max_new=64):
     return tok_s_batch, tok_s_single
 
 
-def _wait_for_hbm(gb: int = 12, timeout_s: int = 360) -> None:
+def _wait_for_hbm(gb: int = 12, timeout_s: int = 1200) -> None:
     """The TPU server releases a previous client's HBM asynchronously; poll
     until a large allocation succeeds so back-to-back runs don't OOM."""
     import gc

@@ -25,7 +25,19 @@ from retake_tpu.models.llava_onevision.config import LlavaOnevisionConfig
 from retake_tpu.models.qwen2_vl import params as qwen_params
 
 
-def init_params(cfg: LlavaOnevisionConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+def init_params(
+    cfg: LlavaOnevisionConfig, seed: int = 0, dtype=jnp.bfloat16,
+    quantize_int8=False, quantize_vision_int8=False,
+) -> dict:
+    """Random parameters at real geometry.
+
+    ``quantize_int8`` generates the Qwen2 text decoder directly in int8
+    (the bf16 7B tree would OOM a 16 GB chip before it could be quantized —
+    same rationale as models/qwen2_vl/params.init_params);
+    ``quantize_vision_int8`` does the same for the SigLIP block linears and
+    the projector (W8A8 mode).
+    """
+
     @jax.jit
     def _build():
         key_stream = [jax.random.key(seed)]
@@ -37,13 +49,28 @@ def init_params(cfg: LlavaOnevisionConfig, seed: int = 0, dtype=jnp.bfloat16) ->
             key_stream[0], sub = jax.random.split(key_stream[0])
             return jax.random.normal(sub, shape, dtype) * jnp.asarray(scale, dtype)
 
+        def qw(*shape):
+            """int8 {w, scale} leaf under quantize_vision_int8."""
+            if not quantize_vision_int8:
+                return {"w": w(*shape)}
+            sigma = 1.0 / np.sqrt(shape[-2])
+            key_stream[0], sub = jax.random.split(key_stream[0])
+            return {
+                "w": jax.random.randint(sub, shape, -127, 128, jnp.int8),
+                "scale": jnp.full(
+                    shape[:-2] + shape[-1:], sigma / 73.0, jnp.float32
+                ),
+            }
+
         def zeros(*shape):
             return jnp.zeros(shape, dtype)
 
         def ones(*shape):
             return jnp.ones(shape, dtype)
 
-        text = qwen_params._init_params_traced(cfg.text, seed + 1, dtype)
+        text = qwen_params._init_params_traced(
+            cfg.text, seed + 1, dtype, quantize_int8
+        )
         text.pop("visual")  # Qwen2-VL ViT not used in this family
         v = cfg.vision
         d, m, l = v.hidden_size, v.intermediate_size, v.num_hidden_layers
@@ -53,19 +80,19 @@ def init_params(cfg: LlavaOnevisionConfig, seed: int = 0, dtype=jnp.bfloat16) ->
             "pos_embed": w(v.num_patches, d, scale=0.02),
             "blocks": {
                 "ln1": {"scale": ones(l, d), "bias": zeros(l, d)},
-                "q": {"w": w(l, d, d), "b": zeros(l, d)},
-                "k": {"w": w(l, d, d), "b": zeros(l, d)},
-                "v": {"w": w(l, d, d), "b": zeros(l, d)},
-                "out": {"w": w(l, d, d), "b": zeros(l, d)},
+                "q": {**qw(l, d, d), "b": zeros(l, d)},
+                "k": {**qw(l, d, d), "b": zeros(l, d)},
+                "v": {**qw(l, d, d), "b": zeros(l, d)},
+                "out": {**qw(l, d, d), "b": zeros(l, d)},
                 "ln2": {"scale": ones(l, d), "bias": zeros(l, d)},
-                "fc1": {"w": w(l, d, m), "b": zeros(l, m)},
-                "fc2": {"w": w(l, m, d), "b": zeros(l, d)},
+                "fc1": {**qw(l, d, m), "b": zeros(l, m)},
+                "fc2": {**qw(l, m, d), "b": zeros(l, d)},
             },
         }
         td = cfg.text.hidden_size
         projector = {
-            "linear_1": {"w": w(d, td), "b": zeros(td)},
-            "linear_2": {"w": w(td, td), "b": zeros(td)},
+            "linear_1": {**qw(d, td), "b": zeros(td)},
+            "linear_2": {**qw(td, td), "b": zeros(td)},
         }
         out = dict(text)
         out["vision_tower"] = vision
