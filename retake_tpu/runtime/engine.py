@@ -366,13 +366,28 @@ def _final_token(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _build_embeds(params, cfg: Qwen2VLConfig, input_ids, video_embeds, video_start):
-    emb = text.embed(params, input_ids)
-    if video_embeds is not None:
-        emb = jax.lax.dynamic_update_slice(
-            emb, video_embeds.astype(emb.dtype), (video_start, 0)
-        )
-    return emb
+def _build_embeds(params, cfg: Qwen2VLConfig, input_ids):
+    return text.embed(params, input_ids)
+
+
+@partial(jax.jit, static_argnames=("cfg", "pre_len", "vid_len"))
+def _concat_embeds(
+    params, cfg: Qwen2VLConfig, input_ids, video_embeds,
+    pre_len: int, vid_len: int,
+):
+    """[text-before | video | text-after] embeddings by concatenation.
+
+    Long videos dominate the sequence (200k of ~201k tokens at 1024 LLaVA
+    frames), so gathering embeddings for ALL ids and then overwriting the
+    video span wastes a full [S, d] buffer plus the scatter copy — at 7B
+    width that transient peak is what OOMs a 16 GB chip. The video span is
+    contiguous, so concatenation builds the sequence with no dead gather.
+    (pre_len/vid_len are static; the surrounding per-request jits already
+    specialize on the padded sequence length.)
+    """
+    pre = text.embed(params, input_ids[:pre_len])
+    post = text.embed(params, input_ids[pre_len + vid_len:])
+    return jnp.concatenate([pre, video_embeds.astype(pre.dtype), post])
 
 
 @jax.jit
@@ -615,14 +630,18 @@ class Qwen2VLEngine:
         chunk_tokens = (
             self.get_chunk_tokens(grid[0]) if grid is not None else None
         )
+        # box + drop our references so prefill_and_decode can free the
+        # embeddings right after scattering them
+        ve_box, video_embeds = [video_embeds], None
+        ie_box, image_embeds = [image_embeds], None
         return prefill_and_decode(
             self.params, cfg, rt,
             ids=ids, pos=pos, keypatch_tokens=keypatch_tokens,
-            video_embeds=video_embeds, video_token_id=cfg.video_token_id,
+            video_embeds=ve_box, video_token_id=cfg.video_token_id,
             chunk_tokens=chunk_tokens, decode_pos_base=decode_pos_base,
             max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
             timer=timer, t_start=t0,
-            image_embeds=image_embeds, image_token_id=cfg.image_token_id,
+            image_embeds=ie_box, image_token_id=cfg.image_token_id,
             cache_sharding=self.cache_sharding, act_quant=self.act_quant,
             prefill_only=_prefill_only,
         )
@@ -659,6 +678,15 @@ def prefill_and_decode(
     import time
 
     s = len(ids)
+    # big vision embeddings may arrive in a 1-element list: ownership
+    # transfer so THIS function holds the only reference and can free them
+    # right after the embed scatter (a caller-held [147k..200k, d] array
+    # otherwise stays alive through the whole prefill — at 7B width that is
+    # 1-2 GB of dead HBM next to the int8 params and the KV cache)
+    if isinstance(video_embeds, list):
+        video_embeds = video_embeds.pop() if video_embeds else None
+    if isinstance(image_embeds, list):
+        image_embeds = image_embeds.pop() if image_embeds else None
     # W8A8 needs int8 weights; fall back to the exact path otherwise
     act_quant = act_quant and "scale" in params["layers"]["q"]
     ratio = rt.compression_ratio_for(s)
@@ -738,13 +766,12 @@ def prefill_and_decode(
                 f"{n_video_tokens}, features {video_embeds.shape[0]}"
             )
         vstart = int(np.where(ids == video_token_id)[0][0])
+        embeds = _concat_embeds(
+            params, cfg, jnp.asarray(ids_dev), video_embeds,
+            vstart, n_video_tokens,
+        )
     else:
-        vstart = 0
-    embeds = _build_embeds(
-        params, cfg, jnp.asarray(ids_dev),
-        None if video_embeds is None else video_embeds,
-        jnp.int32(vstart),
-    )
+        embeds = _build_embeds(params, cfg, jnp.asarray(ids_dev))
     if image_embeds is not None:
         # scatter each contiguous image-token span, consuming the
         # concatenated image embeddings in token order (masked_scatter parity)
@@ -762,6 +789,7 @@ def prefill_and_decode(
                 embeds, image_embeds[off : off + n], jnp.int32(s0)
             )
             off += n
+    video_embeds = image_embeds = None  # scattered into embeds — free now
     pos_dev = jnp.asarray(pos_pad)
     kp_dev = jnp.asarray(kp_pad)
 

@@ -44,16 +44,37 @@ def _siglip_chunk(params, vcfg, frames_u8, act_quant=False):
 
 
 @partial(jax.jit, static_argnames=("grid", "pooled", "act_quant"))
-def _project_pool_newline(
+def _project_pool_chunk(
     params, features, grid: int, pooled: int, act_quant=False
 ):
-    """[t, 729, 1152] -> flattened LLM video embeds [t*196 + 1, d]."""
+    """Project + 2x2 pool one frame chunk: [tc, 729, 1152] -> [tc, 196, d]."""
     x = siglip.multi_modal_projector(
         params["projector"], features, act_quant=act_quant
     )
-    x = siglip.apply_pooling(x, grid, pooled)
-    t, n, d = x.shape
-    flat = x.reshape(t * n, d)
+    return siglip.apply_pooling(x, grid, pooled)
+
+
+def _project_pool_newline(
+    params, features, grid: int, pooled: int, act_quant=False,
+    frame_chunk: int = 64,
+):
+    """[t, 729, 1152] -> flattened LLM video embeds [t*196 + 1, d].
+
+    Projection runs in frame chunks: the pre-pooling projector output is
+    [t, 729, text_d] — 5.4 GB bf16 at 1024 frames x 7B width, which OOMs a
+    16 GB chip next to the int8 params if materialized at once (frames are
+    independent, so chunking is exact).
+    """
+    t = features.shape[0]
+    outs = [
+        _project_pool_chunk(
+            params, features[i : i + frame_chunk], grid, pooled, act_quant
+        )
+        for i in range(0, t, frame_chunk)
+    ]
+    x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    tc, n, d = x.shape
+    flat = x.reshape(tc * n, d)
     return jnp.concatenate([flat, params["image_newline"][None, :].astype(flat.dtype)])
 
 
@@ -221,6 +242,8 @@ class LlavaOnevisionEngine:
                     self.params, features, cfg.grid_side, cfg.pooled_grid,
                     self._vision_aq(),
                 )
+                features = None  # [t, 729, 1152] tower output: free 1.7 GB
+                # at 1024 frames before the prefill allocates its cache
             n_video_tokens = tgt * cfg.tokens_per_frame + 1
             if tgt != t:
                 # drop trailing video placeholder tokens
@@ -244,14 +267,18 @@ class LlavaOnevisionEngine:
         chunk_tokens = (
             self.get_chunk_tokens(num_frames) if num_frames else None
         )
+        # box + drop our references (see engine.prefill_and_decode): the
+        # [t*196, d] video embeds are 1.4 GB at 1024 frames x 7B width
+        ve_box, video_embeds = [video_embeds], None
+        ie_box, image_embeds = [image_embeds], None
         return prefill_and_decode(
             self.params, cfg.text, rt,
             ids=ids, pos=pos, keypatch_tokens=keypatch_tokens,
-            video_embeds=video_embeds, video_token_id=cfg.video_token_id,
+            video_embeds=ve_box, video_token_id=cfg.video_token_id,
             chunk_tokens=chunk_tokens, decode_pos_base=s,
             max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
             timer=timer, t_start=t_start,
-            image_embeds=image_embeds, image_token_id=cfg.image_token_id,
+            image_embeds=ie_box, image_token_id=cfg.image_token_id,
             act_quant=self.act_quant, prefill_only=_prefill_only,
         )
 
