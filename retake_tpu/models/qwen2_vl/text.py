@@ -98,15 +98,22 @@ def _layer(
 ):
     """One decoder layer over one chunk. Scanned over the layer axis."""
     hidden, pos3, valid_len, keypatch, keep_len, cache_len = carry
-    lp, ck, cv, cpos = xs
+    lp, ck, cv, cpos, cks, cvs = xs
     if attn_budget is not None and attn_budget < ck.shape[1]:
         # static attention window: the engine knows the cache fill level per
         # chunk ahead of time, so early chunks attend a small prefix slice of
         # the budget buffer instead of the whole thing (huge FLOP save)
         ck_attn = jax.lax.slice_in_dim(ck, 0, attn_budget, axis=1)
         cv_attn = jax.lax.slice_in_dim(cv, 0, attn_budget, axis=1)
+        cks_attn = None if cks is None else jax.lax.slice_in_dim(
+            cks, 0, attn_budget, axis=1
+        )
+        cvs_attn = None if cvs is None else jax.lax.slice_in_dim(
+            cvs, 0, attn_budget, axis=1
+        )
     else:
         ck_attn, cv_attn = ck, cv
+        cks_attn, cvs_attn = cks, cvs
     h_dim, kv_heads = cfg.head_dim, cfg.num_key_value_heads
     n_heads = cfg.num_attention_heads
     s = hidden.shape[0]
@@ -164,19 +171,22 @@ def _layer(
         # KEEP IN SYNC with decode_step_batch (the batched decode fork)
         if attn_impl == "xla":
             attn_out = attn_ops.chunk_prefill_attention(
-                q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
+                q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len,
+                k_scale=cks_attn, v_scale=cvs_attn,
             )
         else:
             # decode: append-free single-token attention — concatenating the
             # cache would copy the whole multi-GB buffer every step
             attn_out = attn_ops.decode_attention_appendfree(
-                q_rot, ck_attn, cv_attn, cache_len, k_rot, v
+                q_rot, ck_attn, cv_attn, cache_len, k_rot, v,
+                k_scale=cks_attn, v_scale=cvs_attn,
             )
     elif attn_impl == "pallas":
         from retake_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 
         attn_out = flash_prefill_attention(
-            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
+            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len,
+            k_scale=cks_attn, v_scale=cvs_attn,
         )
         if compress:
             # single-pass Pallas scoring: no [H, S, S] fp32 probability
@@ -189,11 +199,13 @@ def _layer(
             fused_scores = score_sums.sum(axis=0) / (kv_heads * group)
     elif attn_impl == "flash":
         attn_out = attn_ops.flash_chunk_attention(
-            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
+            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len,
+            k_scale=cks_attn, v_scale=cvs_attn,
         )
     else:
         attn_out = attn_ops.chunk_prefill_attention(
-            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len
+            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len,
+            k_scale=cks_attn, v_scale=cvs_attn,
         )
     hidden = hidden + _linear(_unheads(attn_out), lp["o"], act_int8=act_quant)
 
@@ -276,7 +288,10 @@ def decoder_chunk(
         )
 
     carry0 = (hidden, pos3, valid_len, keypatch, keep_len, cache.length)
-    xs = (params["layers"], cache.k, cache.v, cache.pos)
+    xs = (
+        params["layers"], cache.k, cache.v, cache.pos,
+        cache.k_scale, cache.v_scale,  # None in bf16 mode
+    )
     carry, blocks = jax.lax.scan(body, carry0, xs)
     k_blocks, v_blocks, pos_blocks = blocks
     advance = keep_len if compress else valid_len
@@ -295,6 +310,8 @@ def decode_step_batch(
     final_len: jax.Array,  # [B] int32 prefill lengths
     gap_start: jax.Array,  # scalar int32 — uniform decode-region base slot
     gap_filled: jax.Array,  # scalar int32 — decode steps already written
+    ks_all=None,  # [L, B, KV, S_attn] f32 — int8 cache mode
+    vs_all=None,
 ):
     """One batched decode step: linears run directly on [B, d] rows and
     attention on batched einsums (no vmap), over gap-layout caches
@@ -322,7 +339,7 @@ def decode_step_batch(
     b = hidden.shape[0]
 
     def body(hidden, xs):
-        lp, ck, cv, bt = xs
+        lp, ck, cv, bt, cks, cvs = xs
         x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
         q = _linear(x, lp["q"]).reshape(b, n_heads, h_dim)
         k = _linear(x, lp["k"]).reshape(b, kv_heads, h_dim)
@@ -345,7 +362,8 @@ def decode_step_batch(
         k_rot = rope.apply_rope(k, cos_b, sin_b)
 
         attn = attn_ops.decode_attention_batch_gapped(
-            q_rot, ck, cv, final_len, gap_start, gap_filled, k_rot, v
+            q_rot, ck, cv, final_len, gap_start, gap_filled, k_rot, v,
+            k_scale=cks, v_scale=cvs,
         )
         hidden = hidden + _linear(attn.reshape(b, n_heads * h_dim), lp["o"])
         x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
@@ -356,7 +374,7 @@ def decode_step_batch(
         return hidden + mlp, (k_rot, v)
 
     hidden, (k_blocks, v_blocks) = jax.lax.scan(
-        body, hidden, (params["layers"], k_all, v_all, base_t)
+        body, hidden, (params["layers"], k_all, v_all, base_t, ks_all, vs_all)
     )
     return hidden, k_blocks, v_blocks
 

@@ -64,6 +64,14 @@ def chunk_prefill_mask(
     return jnp.concatenate([cache_part, chunk_part], axis=1)
 
 
+def dequantize_cache(cache_part: jax.Array, scale, dtype):
+    """int8 cache slice [.., S, D] + scale [.., S] -> ``dtype`` (fallback
+    paths; the perf paths commute the scales instead)."""
+    if scale is None:
+        return cache_part
+    return (cache_part.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 def chunk_prefill_attention(
     query: jax.Array,  # [H, S, D] RoPE'd chunk queries
     key_cache: jax.Array,  # [KV, budget, D]
@@ -72,10 +80,14 @@ def chunk_prefill_attention(
     key_new: jax.Array,  # [KV, S, D] RoPE'd chunk keys
     value_new: jax.Array,  # [KV, S, D]
     valid_len: jax.Array,  # scalar int32
+    k_scale=None,  # [KV, budget] f32 (int8 cache mode)
+    v_scale=None,
 ) -> jax.Array:
     """Attention for one prefill chunk: cached prefix + causal self block."""
     budget = key_cache.shape[1]
     s = query.shape[1]
+    key_cache = dequantize_cache(key_cache, k_scale, query.dtype)
+    value_cache = dequantize_cache(value_cache, v_scale, query.dtype)
     k = jnp.concatenate([key_cache, key_new], axis=1)
     v = jnp.concatenate([value_cache, value_new], axis=1)
     mask = chunk_prefill_mask(budget, s, cache_len, valid_len)
@@ -91,6 +103,8 @@ def flash_chunk_attention(
     value_new: jax.Array,
     valid_len: jax.Array,  # scalar int32
     block_size: int = 1024,
+    k_scale=None,  # [KV, budget] f32 (int8 cache mode)
+    v_scale=None,
 ) -> jax.Array:
     """Online-softmax (flash) chunk attention scanned over KV blocks.
 
@@ -113,7 +127,7 @@ def flash_chunk_attention(
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
     qi = jnp.arange(s)[:, None]  # query row index within the chunk
 
-    def phase(k_src, v_src, block, mask_fn, carry):
+    def phase(k_src, v_src, block, mask_fn, carry, ks_src=None, vs_src=None):
         total = k_src.shape[1]
         block = min(block, total)
         num_blocks = -(-total // block)
@@ -128,6 +142,15 @@ def flash_chunk_attention(
             vb = jax.lax.dynamic_slice(
                 v_src, (0, cstart, 0), (num_kv_heads, block, head_dim)
             )
+            if ks_src is not None:  # int8 cache: dequantize the block
+                ks = jax.lax.dynamic_slice(
+                    ks_src, (0, cstart), (num_kv_heads, block)
+                )
+                vs = jax.lax.dynamic_slice(
+                    vs_src, (0, cstart), (num_kv_heads, block)
+                )
+                kb = (kb.astype(jnp.float32) * ks[..., None]).astype(query.dtype)
+                vb = (vb.astype(jnp.float32) * vs[..., None]).astype(query.dtype)
             col = cstart + jnp.arange(block)[None, :]
             mask = mask_fn(col) & (col >= start)  # [S or 1, B]
             logits = (
@@ -160,7 +183,7 @@ def flash_chunk_attention(
     carry = phase(
         key_cache, value_cache, block_size,
         lambda col: col < cache_len,
-        carry,
+        carry, k_scale, v_scale,
     )
     # phase 2: the chunk's own keys, causal
     m, l, acc = phase(
@@ -192,6 +215,8 @@ def decode_attention_batch_gapped(
     gap_filled: jax.Array,  # scalar int32 — decode tokens already written
     key_new: jax.Array,  # [B, KV, D] the current token's key
     value_new: jax.Array,  # [B, KV, D]
+    k_scale=None,  # [B, KV, S] f32 (int8 cache mode; scales commute)
+    v_scale=None,
 ) -> jax.Array:
     """Batched single-token attention over gap-layout caches.
 
@@ -217,8 +242,11 @@ def decode_attention_batch_gapped(
         (idx >= gap_start) & (idx < gap_start + gap_filled)
     )  # [B, S]
     logits_c = jnp.einsum(
-        "bkgd,bktd->bkgt", q, key_cache, preferred_element_type=jnp.float32
+        "bkgd,bktd->bkgt", q, key_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
+    if k_scale is not None:
+        logits_c = logits_c * k_scale[:, :, None, :]
     logits_c = jnp.where(valid[:, None, None, :], logits_c, NEG_INF)
     logit_s = jnp.einsum(
         "bkgd,bkd->bkg", q, key_new, preferred_element_type=jnp.float32
@@ -228,9 +256,12 @@ def decode_attention_batch_gapped(
     p_c = jnp.exp(logits_c - m)
     p_s = jnp.exp(logit_s - m)
     denom = p_c.sum(axis=-1, keepdims=True) + p_s
+    if v_scale is not None:
+        p_c = p_c * v_scale[:, :, None, :]
     out = (
         jnp.einsum(
-            "bkgt,bktd->bkgd", p_c.astype(value_cache.dtype), value_cache,
+            "bkgt,bktd->bkgd", p_c.astype(query.dtype),
+            value_cache.astype(query.dtype),
             preferred_element_type=jnp.float32,
         )
         + p_s.astype(jnp.float32) * value_new[:, :, None, :]
@@ -245,13 +276,19 @@ def decode_attention_appendfree(
     cache_len: jax.Array,  # scalar int32 — valid cached tokens
     key_new: jax.Array,  # [KV, 1, D] the current token's key
     value_new: jax.Array,
+    k_scale=None,  # [KV, budget] f32 (int8 cache mode)
+    v_scale=None,
 ) -> jax.Array:
     """Single-token attention without copying the cache.
 
     ``concatenate([cache, new])`` rewrites the whole multi-GB cache buffer
     every decode step; here the new token's logit/value contribution is
     computed separately and merged into one softmax — HBM traffic drops to a
-    single read of the valid cache region.
+    single read of the valid cache region. With an int8 cache the per-key
+    scales COMMUTE with both contractions (``(q @ k_q) * s_k`` and
+    ``(p * s_v) @ v_q``), so the int8 tensors stream straight into the dots
+    — the dequantized cache is never materialized and the decode-critical
+    cache reads halve.
     """
     num_heads, _, head_dim = query.shape
     num_kv, budget, _ = key_cache.shape
@@ -260,8 +297,11 @@ def decode_attention_appendfree(
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
 
     logits_c = jnp.einsum(
-        "kgd,ktd->kgt", q, key_cache, preferred_element_type=jnp.float32
+        "kgd,ktd->kgt", q, key_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale  # [KV, G, budget]
+    if k_scale is not None:
+        logits_c = logits_c * k_scale[:, None, :]
     logits_c = jnp.where(
         (jnp.arange(budget) < cache_len)[None, None, :], logits_c, NEG_INF
     )
@@ -273,9 +313,12 @@ def decode_attention_appendfree(
     p_c = jnp.exp(logits_c - m)
     p_s = jnp.exp(logit_s - m)
     denom = p_c.sum(axis=-1, keepdims=True) + p_s
+    if v_scale is not None:
+        p_c = p_c * v_scale[:, None, :]
     out = (
         jnp.einsum(
-            "kgt,ktd->kgd", p_c.astype(value_cache.dtype), value_cache,
+            "kgt,ktd->kgd", p_c.astype(query.dtype),
+            value_cache.astype(query.dtype),
             preferred_element_type=jnp.float32,
         )
         + p_s.astype(jnp.float32) * value_new[:, 0][:, None, :]

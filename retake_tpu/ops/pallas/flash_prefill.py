@@ -60,19 +60,21 @@ SUB_K = 512
 def _kernel(
     scalar_ref,  # SMEM [2]: cache_len, valid_len
     q_ref,  # [1, G, BQ, D]
-    k_ref,  # [1, BK, D]
+    k_ref,  # [1, BK, D] (bf16, or int8 in quantized-cache mode)
     v_ref,  # [1, BK, D]
-    o_ref,  # [1, G, BQ, D]
-    acc_ref,  # VMEM [G*BQ, D] f32
-    m_ref,  # VMEM [G*BQ, 128] f32
-    l_ref,  # VMEM [G*BQ, 128] f32
-    *,
+    *refs,  # [ks_ref [1, BK, 1] f32, vs_ref [1, BK, 1] f32,] o_ref, scratch
     budget: int,
     bq: int,
     bk: int,
     num_kv_blocks: int,
     scale: float,
+    quantized: bool = False,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
+        ks_ref = vs_ref = None
     j = pl.program_id(1)
     kb = pl.program_id(2)
     cache_len = scalar_ref[0]
@@ -132,6 +134,13 @@ def _kernel(
             def _sub(si=si, sub_start=sub_start, sub_interior=sub_interior):
                 k = k_ref[0, si * sub_w : (si + 1) * sub_w]  # [SUB, D]
                 v = v_ref[0, si * sub_w : (si + 1) * sub_w]
+                if ks_ref is not None:
+                    # int8 cache: the DMA moved int8 (half the HBM traffic of
+                    # the dominant cache reads); dequantize per key in VMEM —
+                    # scales ride along as [1, BK, 1] sublane-aligned columns
+                    sl = slice(si * sub_w, (si + 1) * sub_w)
+                    k = (k.astype(jnp.float32) * ks_ref[0, sl]).astype(q.dtype)
+                    v = (v.astype(jnp.float32) * vs_ref[0, sl]).astype(q.dtype)
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -172,7 +181,7 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_prefill_attention(
     query: jax.Array,  # [H, S, D] RoPE'd chunk queries
-    key_cache: jax.Array,  # [KV, budget, D]
+    key_cache: jax.Array,  # [KV, budget, D] (bf16, or int8 + k_scale)
     value_cache: jax.Array,
     cache_len: jax.Array,  # scalar int32
     key_new: jax.Array,  # [KV, S, D]
@@ -180,11 +189,21 @@ def flash_prefill_attention(
     valid_len: jax.Array,  # scalar int32
     block_q: int = DEFAULT_BQ,
     block_k: int = DEFAULT_BK,
+    k_scale=None,  # [KV, budget] f32 — int8-cache mode (kv_cache_dtype)
+    v_scale=None,
 ) -> jax.Array:
-    """Same contract as ops.attention.chunk_prefill_attention."""
+    """Same contract as ops.attention.chunk_prefill_attention.
+
+    int8-cache mode: k/v stream into VMEM as int8 (half the DMA traffic of
+    the dominant cache reads), converting and scale-commuting in-core —
+    the chunk's own keys/values are quantized on entry so one code path
+    covers the whole [cache | chunk] span (they are appended quantized
+    right after this anyway).
+    """
     num_heads, s, d = query.shape
     num_kv, budget, _ = key_cache.shape
     g = num_heads // num_kv
+    quantized = k_scale is not None
     # shrink blocks for small shapes (tiny-model tests); production budgets
     # are multiples of 8192, so the defaults are used unchanged there
     block_k = math.gcd(budget, block_k)
@@ -202,11 +221,22 @@ def flash_prefill_attention(
     q = query.reshape(num_kv, g, s, d)
     if s_pad_q != s:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad_q - s), (0, 0)))
+    if quantized:  # quantize the fresh chunk keys/values to match the cache
+        from retake_tpu.ops.quantization import quantize_kv_block
+
+        key_new, kn_scale = quantize_kv_block(key_new)
+        value_new, vn_scale = quantize_kv_block(value_new)
     if s_pad_k != s:
         key_new = jnp.pad(key_new, ((0, 0), (0, s_pad_k - s), (0, 0)))
         value_new = jnp.pad(value_new, ((0, 0), (0, s_pad_k - s), (0, 0)))
+        if quantized:
+            kn_scale = jnp.pad(kn_scale, ((0, 0), (0, s_pad_k - s)))
+            vn_scale = jnp.pad(vn_scale, ((0, 0), (0, s_pad_k - s)))
     k_all = jnp.concatenate([key_cache, key_new], axis=1)
     v_all = jnp.concatenate([value_cache, value_new], axis=1)
+    if quantized:
+        ks_all = jnp.concatenate([k_scale, kn_scale], axis=1)
+        vs_all = jnp.concatenate([v_scale, vn_scale], axis=1)
     total = budget + s_pad_k
     num_q_blocks = s_pad_q // block_q
     num_kv_blocks = total // block_k
@@ -228,14 +258,29 @@ def flash_prefill_attention(
     def o_index(i, j, kb, scalars):
         return (i, 0, j, 0)
 
+    def kvs_index(i, j, kb, scalars):
+        idx = kv_index(i, j, kb, scalars)
+        # scales as [KV, total, 1]: a (1, BK, 1) block keeps the last two
+        # dims Mosaic-legal (BK%8==0, trailing dim == array dim)
+        return (idx[0], idx[1], 0)
+
+    in_specs = [
+        pl.BlockSpec((1, g, block_q, d), q_index),
+        pl.BlockSpec((1, block_k, d), kv_index),
+        pl.BlockSpec((1, block_k, d), kv_index),
+    ]
+    inputs = [q, k_all, v_all]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, block_k, 1), kvs_index),
+            pl.BlockSpec((1, block_k, 1), kvs_index),
+        ]
+        inputs += [ks_all[..., None], vs_all[..., None]]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_kv, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, g, block_q, d), q_index),
-            pl.BlockSpec((1, block_k, d), kv_index),
-            pl.BlockSpec((1, block_k, d), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, g, block_q, d), o_index),
         scratch_shapes=[
             pltpu.VMEM((g * block_q, d), jnp.float32),
@@ -251,10 +296,12 @@ def flash_prefill_attention(
         bk=block_k,
         num_kv_blocks=num_kv_blocks,
         scale=float(1.0 / (d**0.5)),
+        quantized=quantized,
     )
     scalars = jnp.stack(
         [cache_len.astype(jnp.int32), valid_len.astype(jnp.int32)]
     )
+    kv_bytes = 1 if quantized else 2
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -265,9 +312,11 @@ def flash_prefill_attention(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * s_pad_q * total * d * num_heads,
-            bytes_accessed=(total * d * 2 * num_kv + s_pad_q * d * num_heads)
-            * 2,
+            bytes_accessed=(
+                total * d * kv_bytes * 2 * num_kv
+                + s_pad_q * d * num_heads * 2
+            ),
             transcendentals=s_pad_q * total * num_heads,
         ),
-    )(scalars, q, k_all, v_all)
+    )(scalars, *inputs)
     return out.reshape(num_heads, s_pad_q, d)[:, :s]

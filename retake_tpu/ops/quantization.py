@@ -48,6 +48,19 @@ def quantize_embedding(e: jax.Array) -> dict:
     return {"w": q, "scale": scale[:, 0]}
 
 
+def quantize_kv_block(block: jax.Array):
+    """Per-key symmetric int8 for KV-cache blocks:
+    [.., S, D] -> (int8 block, f32 scale [.., S]). The scale commutes with
+    both attention contractions (see runtime/cache.py KVCache docstring)."""
+    b32 = block.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(b32), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(b32 / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_acts(x: jax.Array):
     """Dynamic per-row symmetric int8 activation quantization.
 

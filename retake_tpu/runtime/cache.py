@@ -37,6 +37,14 @@ class KVCache:
     v: jax.Array
     pos: jax.Array
     length: jax.Array
+    # int8 KV mode (config ``kv_cache_dtype: int8``): k/v are int8 and these
+    # hold the per-(layer, kv_head, token) symmetric scales [L, KV, budget]
+    # f32. The scales commute with the attention contractions —
+    # logits = (q @ k_q^T) * s_k and out = (p * s_v) @ v_q — so attention
+    # never materializes a dequantized cache; HBM at rest AND the
+    # decode-critical cache reads halve. None = bf16 mode.
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @property
     def budget(self) -> int:
@@ -46,6 +54,10 @@ class KVCache:
     def num_layers(self) -> int:
         return self.k.shape[0]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_cache(
     num_layers: int,
@@ -53,24 +65,52 @@ def init_cache(
     budget: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    quantized: bool = False,
 ) -> KVCache:
+    shape = (num_layers, num_kv_heads, budget, head_dim)
+    if quantized:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            pos=jnp.zeros((num_layers, 3, budget), jnp.int32),
+            length=jnp.int32(0),
+            k_scale=jnp.zeros(shape[:3], jnp.float32),
+            v_scale=jnp.zeros(shape[:3], jnp.float32),
+        )
     return KVCache(
-        k=jnp.zeros((num_layers, num_kv_heads, budget, head_dim), dtype),
-        v=jnp.zeros((num_layers, num_kv_heads, budget, head_dim), dtype),
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
         pos=jnp.zeros((num_layers, 3, budget), jnp.int32),
         length=jnp.int32(0),
     )
 
 
+from retake_tpu.ops.quantization import quantize_kv_block  # noqa: E402
+
+
 def append_blocks(
     cache: KVCache,
-    k_blocks: jax.Array,  # [layers, kv_heads, S, head_dim]
+    k_blocks: jax.Array,  # [layers, kv_heads, S, head_dim] (bf16/f32)
     v_blocks: jax.Array,
     pos_blocks: jax.Array,  # [layers, 3, S]
     advance: jax.Array,  # scalar int32 — valid_len (text) or keep_len (video)
 ) -> KVCache:
-    """Write chunk blocks at offset ``length`` for every layer, advance length."""
+    """Write chunk blocks at offset ``length`` for every layer, advance length.
+
+    int8 mode quantizes the blocks per key on the way in (keys are written
+    once and only ever read by attention, so this is the single rounding)."""
     off = cache.length
+    if cache.quantized:
+        kq, ks = quantize_kv_block(k_blocks)
+        vq, vs = quantize_kv_block(v_blocks)
+        return KVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, kq, (0, 0, off, 0)),
+            v=jax.lax.dynamic_update_slice(cache.v, vq, (0, 0, off, 0)),
+            pos=jax.lax.dynamic_update_slice(cache.pos, pos_blocks, (0, 0, off)),
+            length=off + advance,
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks, (0, 0, off)),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vs, (0, 0, off)),
+        )
     k = jax.lax.dynamic_update_slice(cache.k, k_blocks, (0, 0, off, 0))
     v = jax.lax.dynamic_update_slice(cache.v, v_blocks, (0, 0, off, 0))
     pos = jax.lax.dynamic_update_slice(cache.pos, pos_blocks, (0, 0, off))

@@ -73,6 +73,28 @@ def _dpselect_gather(video_embeds, grid_t, hw, tgt, window, sync):
     return kept.reshape(tgt * hw, -1), keymask.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("grid_t", "hw", "tgt", "window", "sync"))
+def _dpselect_mask(video_embeds, grid_t, hw, tgt, window, sync):
+    """Keyframe mask only — the ratio-1.0 mode every shipped config uses.
+
+    With tgt == grid_t the kept set is all frames in order, so the gather
+    is an identity copy of the multi-GB feature bank; skipping it removes
+    the 2x bank transient at the DPSelect stage."""
+    bank = video_embeds.reshape(grid_t, hw, -1)
+    _, keymask = dpselect.dpselect(bank, tgt, window, sync)
+    if sync:
+        keymask = jnp.broadcast_to(keymask[:, None], (tgt, hw))
+    return keymask.reshape(-1)
+
+
+@partial(jax.jit, donate_argnames=("buf",))
+def _write_rows(buf, x, off):
+    """Donated row insert: streams vision chunks into one preallocated
+    buffer instead of list-append + concatenate (which holds 2x the
+    embeddings alive at the join)."""
+    return jax.lax.dynamic_update_slice(buf, x, (off, 0))
+
+
 @partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "attn_budget", "act_quant"))
 def _segment_step(
     params,
@@ -292,7 +314,7 @@ def _video_segment_scan(
 
 @partial(
     jax.jit,
-    donate_argnames=("k_all", "v_all"),
+    donate_argnames=("k_all", "v_all", "ks_all", "vs_all"),
     static_argnames=("cfg", "num_steps", "sampling"),
 )
 def _decode_loop_batch(
@@ -301,6 +323,8 @@ def _decode_loop_batch(
     num_steps: int,
     sampling: Optional[Tuple] = None,
     rng_keys=None,
+    ks_all=None,  # [L, B, KV, S_attn] f32 — int8 KV mode
+    vs_all=None,
 ):
     """Batched decode: one scanned loop, the per-request step fully batched.
 
@@ -319,12 +343,14 @@ def _decode_loop_batch(
     analytically from ``base_t`` (see text.decode_step_batch).
     """
 
+    quantized = ks_all is not None
+
     def body(carry, i):
-        tokens, k_all, v_all, done = carry
+        tokens, k_all, v_all, ks_all, vs_all, done = carry
         emb = text.embed(params, tokens)  # [B, d]
         hidden, kb, vb = text.decode_step_batch(
             params, cfg, k_all, v_all, emb, base_t, pos_bases + i,
-            final_len, gap_start, i,
+            final_len, gap_start, i, ks_all, vs_all,
         )
         logits = text.final_logits_batch(params, cfg, hidden)  # [B, V]
         if sampling is None:
@@ -337,23 +363,37 @@ def _decode_loop_batch(
         nxt = jnp.where(done, jnp.int32(cfg.eos_token_id), nxt)
         done = done | (nxt == cfg.eos_token_id)
         off = gap_start + i
+        if quantized:
+            from retake_tpu.ops.quantization import quantize_kv_block
+
+            kb, kbs = quantize_kv_block(kb)  # [L, B, KV, D] -> + [L, B, KV]
+            vb, vbs = quantize_kv_block(vb)
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, kbs[:, :, :, None], (0, 0, 0, off)
+            )
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, vbs[:, :, :, None], (0, 0, 0, off)
+            )
         k_all = jax.lax.dynamic_update_slice(
-            k_all, kb[:, :, :, None, :], (0, 0, 0, off, 0)
+            k_all, kb[:, :, :, None, :].astype(k_all.dtype),
+            (0, 0, 0, off, 0),
         )
         v_all = jax.lax.dynamic_update_slice(
-            v_all, vb[:, :, :, None, :], (0, 0, 0, off, 0)
+            v_all, vb[:, :, :, None, :].astype(v_all.dtype),
+            (0, 0, 0, off, 0),
         )
-        return (nxt, k_all, v_all, done), nxt
+        return (nxt, k_all, v_all, ks_all, vs_all, done), nxt
 
     first_tokens = first_tokens.astype(jnp.int32)
     done0 = first_tokens == cfg.eos_token_id
-    (_, k_all, v_all, _), tokens = jax.lax.scan(
-        body, (first_tokens, k_all, v_all, done0), jnp.arange(num_steps)
+    (_, k_all, v_all, ks_all, vs_all, _), tokens = jax.lax.scan(
+        body, (first_tokens, k_all, v_all, ks_all, vs_all, done0),
+        jnp.arange(num_steps),
     )
     # the caches must be RETURNED for the donation to be usable — otherwise
     # XLA keeps the input buffers alive next to the scan-carry copy and peak
     # HBM doubles (callers discard them)
-    return tokens, k_all, v_all  # tokens [num_steps, B]
+    return tokens, (k_all, v_all, ks_all, vs_all)  # tokens [num_steps, B]
 
 
 @partial(jax.jit, static_argnames=("cfg", "sampling"))
@@ -465,16 +505,20 @@ class Qwen2VLEngine:
         if t <= fcs:
             return _vit_chunk(self.params, self.cfg, patches, t, h, w, aq)
         hw = h * w
-        outs = []
+        merged_per_t = hw // self.cfg.vision.spatial_merge_size**2
+        out_buf = None
         for i in range(0, t, fcs):
             tc = min(fcs, t - i)
             chunk = patches[i * hw : (i + tc) * hw]
             if tc < fcs:  # pad tail to the common shape; frames are independent
                 chunk = jnp.pad(chunk, ((0, (fcs - tc) * hw), (0, 0)))
             out = _vit_chunk(self.params, self.cfg, chunk, fcs, h, w, aq)
-            merged_per_t = hw // self.cfg.vision.spatial_merge_size**2
-            outs.append(out[: tc * merged_per_t])
-        return jnp.concatenate(outs, axis=0)
+            if out_buf is None:
+                out_buf = jnp.zeros((t * merged_per_t, out.shape[-1]), out.dtype)
+            out_buf = _write_rows(
+                out_buf, out[: tc * merged_per_t], jnp.int32(i * merged_per_t)
+            )
+        return out_buf
 
     # ---------- prefill + decode ----------
 
@@ -600,9 +644,15 @@ class Qwen2VLEngine:
                     # grid_t here is the temporal-patch-merged frame count
                     tgt = max(1, round(vc.compression_ratio * t))
                     if vc.compression_method == "Keyframe":
-                        video_embeds, keymask = _dpselect_gather(
-                            video_embeds, t, hw_m, tgt, 3, vc.patch_sync
-                        )
+                        if tgt == t:  # ratio 1.0: mask only, skip the
+                            # identity gather of the multi-GB bank
+                            keymask = _dpselect_mask(
+                                video_embeds, t, hw_m, tgt, 3, vc.patch_sync
+                            )
+                        else:
+                            video_embeds, keymask = _dpselect_gather(
+                                video_embeds, t, hw_m, tgt, 3, vc.patch_sync
+                            )
                         keymask_np = (
                             np.asarray(keymask)
                             if vc.return_keyframe_mask
@@ -626,6 +676,11 @@ class Qwen2VLEngine:
                         keypatch_tokens = np.zeros(len(ids), dtype=bool)
                     vi = np.where(ids == cfg.video_token_id)[0]
                     keypatch_tokens[vi[0] : vi[0] + len(keymask_np)] = keymask_np
+            # drain the vision queue so its intermediates free before the
+            # prefill allocates (host dispatch runs far ahead; every queued
+            # stage's buffers are live at once — block_until_ready is a
+            # no-op through the axon tunnel, a host read is the fence)
+            float(video_embeds[0, 0].astype(jnp.float32))
 
         chunk_tokens = (
             self.get_chunk_tokens(grid[0]) if grid is not None else None
@@ -796,9 +851,21 @@ def prefill_and_decode(
     kv = cache_lib.init_cache(
         cfg.num_hidden_layers, cfg.num_key_value_heads, budget,
         cfg.head_dim, dtype=embeds.dtype,
+        quantized=rt.kv_cache_dtype == "int8",
     )
     if cache_sharding is not None:
-        kv = jax.device_put(kv, cache_sharding)
+        cs = cache_sharding
+        if kv.quantized and cs.k_scale is None:
+            # scales shard like k/v minus the head_dim axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sp = P(*tuple(cs.k.spec)[:3])
+            cs = dataclasses.replace(
+                cs,
+                k_scale=NamedSharding(cs.k.mesh, sp),
+                v_scale=NamedSharding(cs.v.mesh, sp),
+            )
+        kv = jax.device_put(kv, cs)
 
     # 5. run the plan; consecutive plain video chunks fuse into one scan
     hidden = None
@@ -969,7 +1036,8 @@ def decode_batch(
         gap_start = max(states[i].final_len for i in live)
         attn_need = _attn_bucket(gap_start + max_new_tokens)
         nb = len(live)
-        k_all = v_all = None
+        quantized = states[live[0]].cache.quantized
+        k_all = v_all = ks_all = vs_all = None
         base_cols = []
         for bi, i in enumerate(live):
             c = states[i].cache
@@ -986,19 +1054,34 @@ def decode_batch(
                 )
             ks = c.k[:, :, :attn_need]  # [L, KV, <=S_attn, D]
             vs = c.v[:, :, :attn_need]
+            scs = None
+            if quantized:
+                scs = (c.k_scale[:, :, :attn_need], c.v_scale[:, :, :attn_need])
             states[i].cache = None  # free the full buffer
             if ks.shape[2] < attn_need:
-                pad = ((0, 0), (0, 0), (0, attn_need - ks.shape[2]), (0, 0))
+                padn = attn_need - ks.shape[2]
+                pad = ((0, 0), (0, 0), (0, padn), (0, 0))
                 ks, vs = jnp.pad(ks, pad), jnp.pad(vs, pad)
+                if quantized:
+                    spad = ((0, 0), (0, 0), (0, padn))
+                    scs = (jnp.pad(scs[0], spad), jnp.pad(scs[1], spad))
             # [L, B, KV, S_attn, D]: L leads for the layer scan
             if k_all is None:
                 k_all = jnp.zeros(
                     (ks.shape[0], nb) + ks.shape[1:], ks.dtype
                 )
                 v_all = jnp.zeros_like(k_all)
+                if quantized:
+                    ks_all = jnp.zeros(
+                        (ks.shape[0], nb) + scs[0].shape[1:], jnp.float32
+                    )
+                    vs_all = jnp.zeros_like(ks_all)
             k_all = _insert_batch_slot(k_all, ks, jnp.int32(bi))
             v_all = _insert_batch_slot(v_all, vs, jnp.int32(bi))
-            del ks, vs
+            if quantized:
+                ks_all = _insert_batch_slot(ks_all, scs[0], jnp.int32(bi))
+                vs_all = _insert_batch_slot(vs_all, scs[1], jnp.int32(bi))
+            del ks, vs, scs
         for st in states:
             st.cache = None
         base_t = jnp.stack(base_cols, axis=1).astype(jnp.int32)  # [L, B]
@@ -1021,12 +1104,12 @@ def decode_batch(
         rng_keys = jax.vmap(lambda b: jax.random.fold_in(rng_loop, b))(
             jnp.arange(nb)
         )
-        tokens, k_all, v_all = _decode_loop_batch(
+        tokens, caches_out = _decode_loop_batch(
             params, cfg, k_all, v_all, base_t, pos_bases, final_lens,
             jnp.int32(gap_start), first, max_new_tokens - 1,
-            sampling, rng_keys,
+            sampling, rng_keys, ks_all, vs_all,
         )
-        del k_all, v_all  # returned only so the donation aliases
+        del k_all, v_all, ks_all, vs_all, caches_out  # returned for aliasing
         tokens = np.asarray(tokens)  # [steps, B]
         for bi, i in enumerate(live):
             col = tokens[:, bi]

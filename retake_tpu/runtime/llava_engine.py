@@ -63,19 +63,27 @@ def _project_pool_newline(
     Projection runs in frame chunks: the pre-pooling projector output is
     [t, 729, text_d] — 5.4 GB bf16 at 1024 frames x 7B width, which OOMs a
     16 GB chip next to the int8 params if materialized at once (frames are
-    independent, so chunking is exact).
+    independent, so chunking is exact). Chunks stream into one donated
+    buffer (list + concatenate would hold 2x the embeddings at the join).
     """
+    from retake_tpu.runtime.engine import _write_rows
+
     t = features.shape[0]
-    outs = [
-        _project_pool_chunk(
+    n = pooled * pooled
+    out = None
+    for i in range(0, t, frame_chunk):
+        x = _project_pool_chunk(
             params, features[i : i + frame_chunk], grid, pooled, act_quant
         )
-        for i in range(0, t, frame_chunk)
-    ]
-    x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    tc, n, d = x.shape
-    flat = x.reshape(tc * n, d)
-    return jnp.concatenate([flat, params["image_newline"][None, :].astype(flat.dtype)])
+        tc, _, d = x.shape
+        if out is None:
+            out = jnp.zeros((t * n + 1, d), x.dtype)
+            out = _write_rows(
+                out, params["image_newline"][None, :].astype(x.dtype),
+                jnp.int32(t * n),
+            )
+        out = _write_rows(out, x.reshape(tc * n, d), jnp.int32(i * n))
+    return out
 
 
 @partial(jax.jit, static_argnames=("grid_t", "hw", "tgt", "window", "sync"))
@@ -86,6 +94,23 @@ def _dpselect_gather(features, grid_t, hw, tgt, window, sync):
     if sync:
         keymask = jnp.broadcast_to(keymask[:, None], (tgt, hw))
     return kept, keymask.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("grid_t", "hw", "tgt", "window", "sync"))
+def _dpselect_mask(features, grid_t, hw, tgt, window, sync):
+    """Keyframe mask only (ratio 1.0): skips the identity gather of the
+    [t, 729, 1152] bank — see engine._dpselect_mask."""
+    bank = features.reshape(grid_t, hw, -1)
+    _, keymask = dpselect.dpselect(bank, tgt, window, sync)
+    if sync:
+        keymask = jnp.broadcast_to(keymask[:, None], (tgt, hw))
+    return keymask.reshape(-1)
+
+
+@partial(jax.jit, donate_argnames=("buf",))
+def _write_frames(buf, x, off):
+    """Donated frame-chunk insert (no list+concatenate 2x transient)."""
+    return jax.lax.dynamic_update_slice(buf, x, (off, 0, 0))
 
 
 class LlavaOnevisionEngine:
@@ -123,16 +148,17 @@ class LlavaOnevisionEngine:
         aq = self._vision_aq()
         if t <= fcs:
             return _siglip_chunk(self.params, self.cfg.vision, frames, aq)
-        outs = []
+        out_buf = None
         for i in range(0, t, fcs):
             tc = min(fcs, t - i)
             chunk = frames[i : i + tc]
             if tc < fcs:
                 chunk = jnp.pad(chunk, ((0, fcs - tc), (0, 0), (0, 0), (0, 0)))
-            outs.append(
-                _siglip_chunk(self.params, self.cfg.vision, chunk, aq)[:tc]
-            )
-        return jnp.concatenate(outs, axis=0)
+            out = _siglip_chunk(self.params, self.cfg.vision, chunk, aq)[:tc]
+            if out_buf is None:
+                out_buf = jnp.zeros((t,) + out.shape[1:], out.dtype)
+            out_buf = _write_frames(out_buf, out, jnp.int32(i))
+        return out_buf
 
     def get_chunk_tokens(self, num_frames: int) -> Optional[int]:
         """Reference get_chunk_size (llava_onevision.py:144-161):
@@ -220,9 +246,15 @@ class LlavaOnevisionEngine:
                     vc = rt.visual
                     tgt = max(1, round(vc.compression_ratio * t))
                     if vc.compression_method == "Keyframe":
-                        features, keymask = _dpselect_gather(
-                            features, t, hw, tgt, 3, vc.patch_sync
-                        )
+                        if tgt == t:  # ratio 1.0: mask only, no identity
+                            # gather of the multi-GB bank
+                            keymask = _dpselect_mask(
+                                features, t, hw, tgt, 3, vc.patch_sync
+                            )
+                        else:
+                            features, keymask = _dpselect_gather(
+                                features, t, hw, tgt, 3, vc.patch_sync
+                            )
                         keymask_np = (
                             np.asarray(keymask)
                             if vc.return_keyframe_mask
@@ -244,6 +276,12 @@ class LlavaOnevisionEngine:
                 )
                 features = None  # [t, 729, 1152] tower output: free 1.7 GB
                 # at 1024 frames before the prefill allocates its cache
+                # drain the vision queue so its intermediates actually free
+                # before the prefill allocates — the host dispatches far
+                # ahead and every queued stage's buffers are live at once
+                # (block_until_ready is a no-op through the axon tunnel; a
+                # 1-element host read is the reliable fence)
+                float(video_embeds[0, 0].astype(jnp.float32))
             n_video_tokens = tgt * cfg.tokens_per_frame + 1
             if tgt != t:
                 # drop trailing video placeholder tokens

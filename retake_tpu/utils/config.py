@@ -71,6 +71,11 @@ class RetakeConfig:
     # prefill, running the linears on the MXU's double-rate int8 path
     # (~1.6x measured on matmul-bound stages); decode stays weight-only.
     quantization: Optional[str] = None
+    # TPU-native extension: KV-cache storage dtype (None = bf16 | "int8").
+    # int8 halves the cache's HBM at rest and the decode-critical cache
+    # reads; the per-key scales commute with the attention contractions so
+    # no dequantized copy is ever materialized. Lossy (8-bit keys/values).
+    kv_cache_dtype: Optional[str] = None
     # TPU-native extension: decode this many eval samples together in one
     # vmapped loop (engine.generate_batch). Prefill stays sequential
     # (MXU-bound); decode is HBM-bound so batching multiplies tokens/s.
@@ -90,6 +95,7 @@ class RetakeConfig:
             "scaling_factor",
             "attn_implementation",
             "quantization",
+            "kv_cache_dtype",
             "eval_batch_size",
             "dataset_name",
             "anno_file",

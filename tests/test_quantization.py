@@ -166,3 +166,120 @@ def test_engine_runs_quantized(rng):
     q2 = Qwen2VLEngine(cfg, qparams, rt).generate(ids, patches, grid, max_new_tokens=4)
     np.testing.assert_array_equal(q.tokens, q2.tokens)
 
+
+
+def test_kv_scale_commutes_exactly(rng):
+    """int8-KV attention with commuted scales must equal attention over the
+    explicitly dequantized cache (scale commutation is exact math)."""
+    from retake_tpu.ops import attention as attn_ops
+    from retake_tpu.ops.quantization import quantize_kv_block
+
+    KV, G, S, D = 2, 3, 24, 16
+    q = jnp.asarray(rng.normal(size=(KV * G, 1, D)).astype(np.float32))
+    kc = rng.normal(size=(KV, S, D)).astype(np.float32)
+    vc = rng.normal(size=(KV, S, D)).astype(np.float32)
+    kq, ksc = quantize_kv_block(jnp.asarray(kc))
+    vq, vsc = quantize_kv_block(jnp.asarray(vc))
+    k_new = jnp.asarray(rng.normal(size=(KV, 1, D)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(KV, 1, D)).astype(np.float32))
+    clen = jnp.int32(17)
+
+    got = attn_ops.decode_attention_appendfree(
+        q, kq, vq, clen, k_new, v_new, k_scale=ksc, v_scale=vsc
+    )
+    kdq = (kq.astype(jnp.float32) * ksc[..., None])
+    vdq = (vq.astype(jnp.float32) * vsc[..., None])
+    want = attn_ops.decode_attention_appendfree(q, kdq, vdq, clen, k_new, v_new)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_pallas_kernel_int8_cache_matches_xla(rng):
+    """Pallas flash-prefill over an int8 cache must match the XLA reference
+    path over the dequantized cache."""
+    from retake_tpu.ops import attention as attn_ops
+    from retake_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+    from retake_tpu.ops.quantization import quantize_kv_block
+
+    KV, G, S, D, BUDGET = 2, 2, 16, 16, 64
+    q = jnp.asarray(rng.normal(size=(KV * G, S, D)).astype(np.float32))
+    kc = rng.normal(size=(KV, BUDGET, D)).astype(np.float32)
+    vc = rng.normal(size=(KV, BUDGET, D)).astype(np.float32)
+    kq, ksc = quantize_kv_block(jnp.asarray(kc))
+    vq, vsc = quantize_kv_block(jnp.asarray(vc))
+    k_new = jnp.asarray(rng.normal(size=(KV, S, D)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(KV, S, D)).astype(np.float32))
+    clen, vlen = jnp.int32(40), jnp.int32(S)
+
+    got = flash_prefill_attention(
+        q, kq, vq, clen, k_new, v_new, vlen, k_scale=ksc, v_scale=vsc
+    )
+    # reference: dequantize cache AND the chunk keys/values the kernel
+    # quantizes on entry (one shared rounding for the [cache|chunk] span)
+    knq, kns = quantize_kv_block(k_new)
+    vnq, vns = quantize_kv_block(v_new)
+    want = attn_ops.chunk_prefill_attention(
+        q,
+        (kq.astype(jnp.float32) * ksc[..., None]),
+        (vq.astype(jnp.float32) * vsc[..., None]),
+        clen,
+        (knq.astype(jnp.float32) * kns[..., None]),
+        (vnq.astype(jnp.float32) * vns[..., None]),
+        vlen,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_engine_int8_kv_cache(rng):
+    """kv_cache_dtype: int8 end-to-end — deterministic, same cache plan as
+    bf16, int8 buffers actually in use, batched decode token-exact vs
+    sequential under the same quantized cache."""
+    from retake_tpu.models.qwen2_vl import params as params_lib
+    from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
+    from retake_tpu.runtime.engine import Qwen2VLEngine
+    from retake_tpu.utils.config import RetakeConfig
+
+    cfg = TINY_TEST_CONFIG
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+    n_tok = 4 * 4 * 4 // 4
+    ids = np.array(
+        [10, cfg.vision_start_token_id] + [cfg.video_token_id] * n_tok
+        + [cfg.vision_end_token_id, 11, 12, 13], dtype=np.int64,
+    )
+    patches = rng.normal(size=(4 * 4 * 4, cfg.vision.patch_input_dim)).astype(
+        np.float32
+    )
+    grid = np.array([[4, 4, 4]])
+
+    def build(kv_dtype):
+        return RetakeConfig.from_dict(
+            {
+                "kv_cache_dtype": kv_dtype,
+                "longvideo_kwargs": {
+                    "chunked_prefill_frames": 2, "frame_chunk_size": 2,
+                    "kvcache_compression": True,
+                    "kvcache_compression_kwargs": {
+                        "compression_ratio": 0.6, "pos_embed_reforge": True,
+                    },
+                },
+            }
+        )
+
+    eng8 = Qwen2VLEngine(cfg, params, build("int8"))
+    r1 = eng8.generate(ids, patches, grid, max_new_tokens=6)
+    r2 = eng8.generate(ids, patches, grid, max_new_tokens=6)
+    np.testing.assert_array_equal(r1.tokens, r2.tokens)
+
+    eng16 = Qwen2VLEngine(cfg, params, build(None))
+    r16 = eng16.generate(ids, patches, grid, max_new_tokens=6)
+    assert r1.cache_len == r16.cache_len  # plan identical; values approximate
+
+    # batched decode over the quantized cache: exact vs sequential
+    req = dict(input_ids=ids, pixel_values_videos=patches,
+               video_grid_thw=grid)
+    batch = eng8.generate_batch([req, req], max_new_tokens=6)
+    for b in batch:
+        np.testing.assert_array_equal(b.tokens, r1.tokens)
