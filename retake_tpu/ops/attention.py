@@ -149,8 +149,8 @@ def flash_chunk_attention(
                 vs = jax.lax.dynamic_slice(
                     vs_src, (0, cstart), (num_kv_heads, block)
                 )
-                kb = (kb.astype(jnp.float32) * ks[..., None]).astype(query.dtype)
-                vb = (vb.astype(jnp.float32) * vs[..., None]).astype(query.dtype)
+                kb = dequantize_cache(kb, ks, query.dtype)
+                vb = dequantize_cache(vb, vs, query.dtype)
             col = cstart + jnp.arange(block)[None, :]
             mask = mask_fn(col) & (col >= start)  # [S or 1, B]
             logits = (

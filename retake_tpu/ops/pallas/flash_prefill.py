@@ -197,8 +197,10 @@ def flash_prefill_attention(
     int8-cache mode: k/v stream into VMEM as int8 (half the DMA traffic of
     the dominant cache reads), converting and scale-commuting in-core —
     the chunk's own keys/values are quantized on entry so one code path
-    covers the whole [cache | chunk] span (they are appended quantized
-    right after this anyway).
+    covers the whole [cache | chunk] span. append_blocks re-quantizes the
+    chunk independently (identical rounding for non-compress segments);
+    accepted duplicate VPU work — eviction gathers/re-rotates keys between
+    the two sites, so sharing the rounding would special-case every path.
     """
     num_heads, s, d = query.shape
     num_kv, budget, _ = key_cache.shape

@@ -89,10 +89,12 @@ def _dpselect_mask(video_embeds, grid_t, hw, tgt, window, sync):
 
 @partial(jax.jit, donate_argnames=("buf",))
 def _write_rows(buf, x, off):
-    """Donated row insert: streams vision chunks into one preallocated
-    buffer instead of list-append + concatenate (which holds 2x the
-    embeddings alive at the join)."""
-    return jax.lax.dynamic_update_slice(buf, x, (off, 0))
+    """Donated leading-axis insert (rank-generic): streams vision chunks
+    into one preallocated buffer instead of list-append + concatenate
+    (which holds 2x the embeddings alive at the join)."""
+    return jax.lax.dynamic_update_slice(
+        buf, x, (off,) + (jnp.int32(0),) * (buf.ndim - 1)
+    )
 
 
 @partial(jax.jit, donate_argnames=("cache",), static_argnames=("cfg", "compress", "reforge", "attn_impl", "chunk_len", "attn_budget", "act_quant"))

@@ -28,6 +28,8 @@ from retake_tpu.models.llava_onevision.config import LlavaOnevisionConfig
 from retake_tpu.ops import dpselect
 from retake_tpu.runtime.engine import (
     GenerationResult,
+    _dpselect_mask,  # shared ratio-1.0 mask-only DPSelect
+    _write_rows,  # shared donated streaming-buffer insert (rank-generic)
     decode_batch,
     prefill_and_decode,
 )
@@ -66,8 +68,6 @@ def _project_pool_newline(
     independent, so chunking is exact). Chunks stream into one donated
     buffer (list + concatenate would hold 2x the embeddings at the join).
     """
-    from retake_tpu.runtime.engine import _write_rows
-
     t = features.shape[0]
     n = pooled * pooled
     out = None
@@ -94,23 +94,6 @@ def _dpselect_gather(features, grid_t, hw, tgt, window, sync):
     if sync:
         keymask = jnp.broadcast_to(keymask[:, None], (tgt, hw))
     return kept, keymask.reshape(-1)
-
-
-@partial(jax.jit, static_argnames=("grid_t", "hw", "tgt", "window", "sync"))
-def _dpselect_mask(features, grid_t, hw, tgt, window, sync):
-    """Keyframe mask only (ratio 1.0): skips the identity gather of the
-    [t, 729, 1152] bank — see engine._dpselect_mask."""
-    bank = features.reshape(grid_t, hw, -1)
-    _, keymask = dpselect.dpselect(bank, tgt, window, sync)
-    if sync:
-        keymask = jnp.broadcast_to(keymask[:, None], (tgt, hw))
-    return keymask.reshape(-1)
-
-
-@partial(jax.jit, donate_argnames=("buf",))
-def _write_frames(buf, x, off):
-    """Donated frame-chunk insert (no list+concatenate 2x transient)."""
-    return jax.lax.dynamic_update_slice(buf, x, (off, 0, 0))
 
 
 class LlavaOnevisionEngine:
@@ -157,7 +140,7 @@ class LlavaOnevisionEngine:
             out = _siglip_chunk(self.params, self.cfg.vision, chunk, aq)[:tc]
             if out_buf is None:
                 out_buf = jnp.zeros((t,) + out.shape[1:], out.dtype)
-            out_buf = _write_frames(out_buf, out, jnp.int32(i))
+            out_buf = _write_rows(out_buf, out, jnp.int32(i))
         return out_buf
 
     def get_chunk_tokens(self, num_frames: int) -> Optional[int]:

@@ -113,6 +113,18 @@ class RetakeConfig:
         }
         kwargs = {k: v for k, v in d.items() if k in known}
         extras = {k: v for k, v in d.items() if k not in known}
+        if kwargs.get("quantization") not in (None, "int8", "w8a8"):
+            raise ValueError(
+                f"quantization={kwargs['quantization']!r}: expected "
+                "null | int8 | w8a8"
+            )
+        if kwargs.get("kv_cache_dtype") not in (None, "int8"):
+            # fail fast: a typo here would silently fall back to bf16 KV and
+            # OOM large-video configs mid-prefill instead
+            raise ValueError(
+                f"kv_cache_dtype={kwargs['kv_cache_dtype']!r}: expected "
+                "null | int8"
+            )
         if kwargs.get("attn_implementation") in (
             "flash_attention_2",
             "sdpa",

@@ -395,3 +395,15 @@ def test_llava_processor_images_end_to_end(rng):
         pixel_values=out["pixel_values"], image_sizes=out["image_sizes"],
     )
     assert len(r.tokens) >= 1
+
+
+def test_config_rejects_invalid_quantization_values():
+    import pytest
+
+    from retake_tpu.utils.config import RetakeConfig
+
+    with pytest.raises(ValueError, match="kv_cache_dtype"):
+        RetakeConfig.from_dict({"kv_cache_dtype": "INT8"})
+    with pytest.raises(ValueError, match="quantization"):
+        RetakeConfig.from_dict({"quantization": "fp8"})
+    assert RetakeConfig.from_dict({"kv_cache_dtype": "int8"}).kv_cache_dtype == "int8"
