@@ -277,9 +277,25 @@ def test_engine_int8_kv_cache(rng):
     r16 = eng16.generate(ids, patches, grid, max_new_tokens=6)
     assert r1.cache_len == r16.cache_len  # plan identical; values approximate
 
-    # batched decode over the quantized cache: exact vs sequential
-    req = dict(input_ids=ids, pixel_values_videos=patches,
-               video_grid_thw=grid)
-    batch = eng8.generate_batch([req, req], max_new_tokens=6)
-    for b in batch:
-        np.testing.assert_array_equal(b.tokens, r1.tokens)
+    # batched decode over the quantized cache: exact vs sequential,
+    # including a second request with a DIFFERENT video length (distinct
+    # final_len exercises the gap layout's per-request scale regions)
+    n2 = 2 * 4 * 4 // 4
+    ids2 = np.array(
+        [20, cfg.vision_start_token_id] + [cfg.video_token_id] * n2
+        + [cfg.vision_end_token_id, 14, 15], dtype=np.int64,
+    )
+    patches2 = rng.normal(
+        size=(2 * 4 * 4, cfg.vision.patch_input_dim)
+    ).astype(np.float32)
+    grid2 = np.array([[2, 4, 4]])
+    r_b = eng8.generate(ids2, patches2, grid2, max_new_tokens=6)
+    batch = eng8.generate_batch(
+        [dict(input_ids=ids, pixel_values_videos=patches,
+              video_grid_thw=grid),
+         dict(input_ids=ids2, pixel_values_videos=patches2,
+              video_grid_thw=grid2)],
+        max_new_tokens=6,
+    )
+    np.testing.assert_array_equal(batch[0].tokens, r1.tokens)
+    np.testing.assert_array_equal(batch[1].tokens, r_b.tokens)
