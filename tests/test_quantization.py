@@ -299,3 +299,33 @@ def test_engine_int8_kv_cache(rng):
     )
     np.testing.assert_array_equal(batch[0].tokens, r1.tokens)
     np.testing.assert_array_equal(batch[1].tokens, r_b.tokens)
+
+
+def test_flash_chunk_attention_int8_matches_plain(rng):
+    """The XLA online-softmax path's per-block int8 dequant must match the
+    plain masked-einsum path over the same quantized cache."""
+    from retake_tpu.ops import attention as attn_ops
+    from retake_tpu.ops.quantization import quantize_kv_block
+
+    KV, G, S, D, BUDGET = 2, 2, 8, 16, 96
+    q = jnp.asarray(rng.normal(size=(KV * G, S, D)).astype(np.float32))
+    kq, ksc = quantize_kv_block(
+        jnp.asarray(rng.normal(size=(KV, BUDGET, D)).astype(np.float32))
+    )
+    vq, vsc = quantize_kv_block(
+        jnp.asarray(rng.normal(size=(KV, BUDGET, D)).astype(np.float32))
+    )
+    k_new = jnp.asarray(rng.normal(size=(KV, S, D)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(KV, S, D)).astype(np.float32))
+    clen, vlen = jnp.int32(57), jnp.int32(S)
+
+    got = attn_ops.flash_chunk_attention(
+        q, kq, vq, clen, k_new, v_new, vlen, block_size=32,
+        k_scale=ksc, v_scale=vsc,
+    )
+    want = attn_ops.chunk_prefill_attention(
+        q, kq, vq, clen, k_new, v_new, vlen, k_scale=ksc, v_scale=vsc
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
