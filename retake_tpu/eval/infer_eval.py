@@ -41,7 +41,12 @@ def parse_args():
                    help="host:port for jax.distributed (multi-host)")
     p.add_argument("--num_processes", type=int, default=1)
     p.add_argument("--process_id", type=int, default=0)
-    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument(
+        "--resume", action=argparse.BooleanOptionalAction, default=True,
+        help="skip samples already in this rank's shard journal "
+             "(--no-resume re-runs everything; stale journals otherwise "
+             "suppress re-runs silently)",
+    )
     return p.parse_args()
 
 

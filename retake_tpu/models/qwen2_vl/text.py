@@ -84,6 +84,31 @@ def _unheads(x: jax.Array) -> jax.Array:
     return x.transpose(1, 0, 2).reshape(s, h * d)
 
 
+def _layer_qkv(cfg, lp, hidden, cos, sin, act_quant):
+    """Norm -> q/k/v projections -> RoPE, the shared front half of a decoder
+    layer. ``hidden`` is [N, d] where N is the token axis (a chunk's tokens,
+    or the B requests of a batched decode step); returns [H, N, D] heads with
+    ``cos``/``sin`` broadcast over the head axis. Single source of truth for
+    these numerics — both the chunk/decode path (``_layer``) and the batched
+    decode step (``decode_step_batch``) route through here."""
+    x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
+    q, k, v = _shared_quant_linears(x, (lp["q"], lp["k"], lp["v"]), act_quant)
+    q = _heads(q, cfg.num_attention_heads, cfg.head_dim)
+    k = _heads(k, cfg.num_key_value_heads, cfg.head_dim)
+    v = _heads(v, cfg.num_key_value_heads, cfg.head_dim)
+    return rope.apply_rope(q, cos, sin), rope.apply_rope(k, cos, sin), v
+
+
+def _layer_out_mlp(cfg, lp, hidden, attn_flat, act_quant):
+    """o-projection residual + MLP, the shared back half of a decoder layer.
+    ``attn_flat`` is the attention output flattened to [N, H*D]."""
+    hidden = hidden + _linear(attn_flat, lp["o"], act_int8=act_quant)
+    x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
+    gate_y, up_y = _shared_quant_linears(x2, (lp["gate"], lp["up"]), act_quant)
+    mlp = _linear(jax.nn.silu(gate_y) * up_y, lp["down"], act_int8=act_quant)
+    return hidden + mlp
+
+
 def _layer(
     cfg: Qwen2VLConfig,
     inv_freq: jax.Array,
@@ -118,14 +143,6 @@ def _layer(
     n_heads = cfg.num_attention_heads
     s = hidden.shape[0]
 
-    x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
-    q, k, v = _shared_quant_linears(
-        x, (lp["q"], lp["k"], lp["v"]), act_quant
-    )
-    q = _heads(q, n_heads, h_dim)
-    k = _heads(k, kv_heads, h_dim)
-    v = _heads(v, kv_heads, h_dim)
-
     # Per-layer temporal rebase (reference discontinuity fix, qwen2_vl.py:67-73):
     # continue this layer's cached temporal ids contiguously.
     if reforge:
@@ -148,8 +165,7 @@ def _layer(
         )  # [3, 1, S, D]
         cos = rope.select_mrope(cos3, cfg.mrope_section)[0]  # [S, D]
         sin = rope.select_mrope(sin3, cfg.mrope_section)[0]
-    q_rot = rope.apply_rope(q, cos, sin)
-    k_rot = rope.apply_rope(k, cos, sin)
+    q_rot, k_rot, v = _layer_qkv(cfg, lp, hidden, cos, sin, act_quant)
 
     # Scoring inputs for PivotKV eviction: under pos_embed_reforge the
     # reference de-rotates q/k (bf16 round trip) before scoring
@@ -167,8 +183,23 @@ def _layer(
         else:
             q_s, k_s = q_rot, k_rot
 
+    # int8-cache prefill (pallas path): quantize the chunk's keys/values ONCE
+    # here — the SAME int8 blocks + scales feed the flash kernel's [cache |
+    # chunk] span AND the cache append (permuted by the eviction compaction),
+    # so there is a single rounding site. Only reforge re-quantizes keys, and
+    # there the appended keys are genuinely different data (de-rotated,
+    # rescaled, re-rotated).
+    kq = ksc = vq = vsc = None
+    if cks is not None and attn_impl == "pallas" and s > 1:
+        from retake_tpu.ops.quantization import quantize_kv_block
+
+        kq, ksc = quantize_kv_block(k_rot)
+        vq, vsc = quantize_kv_block(v)
+
     if s == 1:
-        # KEEP IN SYNC with decode_step_batch (the batched decode fork)
+        # single-token decode: same layer math as decode_step_batch (both
+        # route through _layer_qkv/_layer_out_mlp); only the attention
+        # cache layout differs (single static buffer vs gap-layout batch)
         if attn_impl == "xla":
             attn_out = attn_ops.chunk_prefill_attention(
                 q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len,
@@ -185,8 +216,12 @@ def _layer(
         from retake_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 
         attn_out = flash_prefill_attention(
-            q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len,
+            q_rot, ck_attn, cv_attn, cache_len,
+            kq if kq is not None else k_rot,
+            vq if vq is not None else v,
+            valid_len,
             k_scale=cks_attn, v_scale=cvs_attn,
+            new_scales=None if kq is None else (ksc, vsc),
         )
         if compress:
             # single-pass Pallas scoring: no [H, S, S] fp32 probability
@@ -207,17 +242,18 @@ def _layer(
             q_rot, ck_attn, cv_attn, cache_len, k_rot, v, valid_len,
             k_scale=cks_attn, v_scale=cvs_attn,
         )
-    hidden = hidden + _linear(_unheads(attn_out), lp["o"], act_int8=act_quant)
+    hidden = _layer_out_mlp(cfg, lp, hidden, _unheads(attn_out), act_quant)
 
-    x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
-    gate_y, up_y = _shared_quant_linears(x2, (lp["gate"], lp["up"]), act_quant)
-    mlp = _linear(jax.nn.silu(gate_y) * up_y, lp["down"], act_int8=act_quant)
-    hidden = hidden + mlp
-
-    # --- cache block for this layer
+    # --- cache block for this layer (int8 mode: blocks leave pre-quantized
+    # with their scales riding along as scan ys; bf16 mode: ks/vs stay None)
     valid_mask = jnp.arange(s) < valid_len
+    ks_block = vs_block = None
     if not compress:
-        k_block, v_block, pos_block = k_rot, v, pos_layer
+        if kq is not None:
+            k_block, v_block, pos_block = kq, vq, pos_layer
+            ks_block, vs_block = ksc, vsc
+        else:
+            k_block, v_block, pos_block = k_rot, v, pos_layer
     else:
         if fused_scores is not None:
             # keypatch force-keep + padding masking on the kernel's raw
@@ -229,7 +265,11 @@ def _layer(
         else:
             scores = pivotkv.eviction_scores(q_s, k_s, valid_mask, keypatch)
         perm, kept_mask = pivotkv.keep_partition(scores, keep_len)
-        v_block = v[:, perm]
+        if vq is not None:
+            # per-token scales: quantize-then-permute == permute-then-quantize
+            v_block, vs_block = vq[:, perm], vsc[:, perm]
+        else:
+            v_block = v[:, perm]
         pos_block = pos_layer[:, perm]
         if reforge:
             k_gathered = k_s[:, perm]
@@ -249,11 +289,20 @@ def _layer(
                 cos_c = rope.select_mrope(cos3c, cfg.mrope_section)[0]
                 sin_c = rope.select_mrope(sin3c, cfg.mrope_section)[0]
             k_block = rope.apply_rope(k_gathered, cos_c, sin_c)
+            if kq is not None:
+                # reforge rewrote the keys (de-rotate -> rescale -> re-rotate)
+                # — this is a fresh quantization of NEW data, not a duplicate
+                from retake_tpu.ops.quantization import quantize_kv_block
+
+                k_block, ks_block = quantize_kv_block(k_block)
         else:
-            k_block = k_rot[:, perm]
+            if kq is not None:
+                k_block, ks_block = kq[:, perm], ksc[:, perm]
+            else:
+                k_block = k_rot[:, perm]
 
     carry = (hidden, pos3, valid_len, keypatch, keep_len, cache_len)
-    return carry, (k_block, v_block, pos_block)
+    return carry, (k_block, v_block, pos_block, ks_block, vs_block)
 
 
 def decoder_chunk(
@@ -293,9 +342,12 @@ def decoder_chunk(
         cache.k_scale, cache.v_scale,  # None in bf16 mode
     )
     carry, blocks = jax.lax.scan(body, carry0, xs)
-    k_blocks, v_blocks, pos_blocks = blocks
+    k_blocks, v_blocks, pos_blocks, ks_blocks, vs_blocks = blocks
     advance = keep_len if compress else valid_len
-    new_cache = append_blocks(cache, k_blocks, v_blocks, pos_blocks, advance)
+    new_cache = append_blocks(
+        cache, k_blocks, v_blocks, pos_blocks, advance,
+        k_scales=ks_blocks, v_scales=vs_blocks,
+    )
     return carry[0], new_cache
 
 
@@ -326,25 +378,21 @@ def decode_step_batch(
     (hidden_out [B, d], k_blocks [L, B, KV, D], v_blocks) — the caller
     writes the blocks at the uniform slot.
 
-    KEEP IN SYNC with the s==1 decode path of ``_layer`` above (greedy
-    batched-vs-sequential parity is pinned by tests/test_engine.py): same
-    rms/rope/attention-merge/mlp numerics. int8 weights take the exact
-    weight-only dequant in ``_linear`` — decode is HBM-bound, W8A8
-    activation quant is prefill-only by design.
+    The per-layer numerics (norm/qkv/rope and o-proj/MLP) are the SAME code
+    as the single-request path — ``_layer_qkv`` / ``_layer_out_mlp``, with
+    the batch axis standing in for the token axis — so batched and
+    sequential decode cannot drift (greedy batched-vs-sequential parity is
+    additionally pinned by tests/test_engine.py). Only the attention call
+    differs: gap-layout batched caches vs the append-free single cache.
+    int8 weights take the exact weight-only dequant in ``_linear`` — decode
+    is HBM-bound, W8A8 activation quant is prefill-only by design.
     """
     inv_freq_np, attention_scaling = cfg.rope_params()
     inv_freq = jnp.asarray(inv_freq_np)
-    h_dim, kv_heads = cfg.head_dim, cfg.num_key_value_heads
-    n_heads = cfg.num_attention_heads
     b = hidden.shape[0]
 
     def body(hidden, xs):
         lp, ck, cv, bt, cks, cvs = xs
-        x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
-        q = _linear(x, lp["q"]).reshape(b, n_heads, h_dim)
-        k = _linear(x, lp["k"]).reshape(b, kv_heads, h_dim)
-        v = _linear(x, lp["v"]).reshape(b, kv_heads, h_dim)
-
         row0 = bt + gap_filled  # [B]
         if cfg.mrope_section is None:
             cos, sin = rope.compute_cos_sin(
@@ -357,21 +405,15 @@ def decode_step_batch(
             )  # [3, B, D]
             cos = rope.select_mrope(cos3, cfg.mrope_section)
             sin = rope.select_mrope(sin3, cfg.mrope_section)
-        cos_b, sin_b = cos[:, None, :], sin[:, None, :]  # broadcast heads
-        q_rot = rope.apply_rope(q, cos_b, sin_b)
-        k_rot = rope.apply_rope(k, cos_b, sin_b)
-
+        # shared layer math in [H, B, D] head layout (batch = token axis)
+        q_rot, k_rot, v = _layer_qkv(cfg, lp, hidden, cos, sin, False)
+        k_b, v_b = k_rot.transpose(1, 0, 2), v.transpose(1, 0, 2)  # [B,KV,D]
         attn = attn_ops.decode_attention_batch_gapped(
-            q_rot, ck, cv, final_len, gap_start, gap_filled, k_rot, v,
-            k_scale=cks, v_scale=cvs,
-        )
-        hidden = hidden + _linear(attn.reshape(b, n_heads * h_dim), lp["o"])
-        x2 = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
-        mlp = _linear(
-            jax.nn.silu(_linear(x2, lp["gate"])) * _linear(x2, lp["up"]),
-            lp["down"],
-        )
-        return hidden + mlp, (k_rot, v)
+            q_rot.transpose(1, 0, 2), ck, cv, final_len, gap_start,
+            gap_filled, k_b, v_b, k_scale=cks, v_scale=cvs,
+        )  # [B, H, D]
+        hidden = _layer_out_mlp(cfg, lp, hidden, attn.reshape(b, -1), False)
+        return hidden, (k_b, v_b)
 
     hidden, (k_blocks, v_blocks) = jax.lax.scan(
         body, hidden, (params["layers"], k_all, v_all, base_t, ks_all, vs_all)

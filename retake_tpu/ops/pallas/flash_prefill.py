@@ -191,16 +191,18 @@ def flash_prefill_attention(
     block_k: int = DEFAULT_BK,
     k_scale=None,  # [KV, budget] f32 — int8-cache mode (kv_cache_dtype)
     v_scale=None,
+    new_scales=None,  # ([KV, S], [KV, S]) f32 — key_new/value_new are
+    #   ALREADY int8 with these scales (the caller's single rounding site)
 ) -> jax.Array:
     """Same contract as ops.attention.chunk_prefill_attention.
 
     int8-cache mode: k/v stream into VMEM as int8 (half the DMA traffic of
     the dominant cache reads), converting and scale-commuting in-core —
-    the chunk's own keys/values are quantized on entry so one code path
-    covers the whole [cache | chunk] span. append_blocks re-quantizes the
-    chunk independently (identical rounding for non-compress segments);
-    accepted duplicate VPU work — eviction gathers/re-rotates keys between
-    the two sites, so sharing the rounding would special-case every path.
+    the chunk's own keys/values are quantized so one code path covers the
+    whole [cache | chunk] span. The layer passes them pre-quantized via
+    ``new_scales`` and reuses the same int8 blocks for the cache append
+    (single rounding site, see text._layer); quantize here only when the
+    caller sent bf16.
     """
     num_heads, s, d = query.shape
     num_kv, budget, _ = key_cache.shape
@@ -223,11 +225,14 @@ def flash_prefill_attention(
     q = query.reshape(num_kv, g, s, d)
     if s_pad_q != s:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad_q - s), (0, 0)))
-    if quantized:  # quantize the fresh chunk keys/values to match the cache
-        from retake_tpu.ops.quantization import quantize_kv_block
+    if quantized:
+        if new_scales is not None:  # caller already quantized (single site)
+            kn_scale, vn_scale = new_scales
+        else:  # quantize the fresh chunk keys/values to match the cache
+            from retake_tpu.ops.quantization import quantize_kv_block
 
-        key_new, kn_scale = quantize_kv_block(key_new)
-        value_new, vn_scale = quantize_kv_block(value_new)
+            key_new, kn_scale = quantize_kv_block(key_new)
+            value_new, vn_scale = quantize_kv_block(value_new)
     if s_pad_k != s:
         key_new = jnp.pad(key_new, ((0, 0), (0, s_pad_k - s), (0, 0)))
         value_new = jnp.pad(value_new, ((0, 0), (0, s_pad_k - s), (0, 0)))

@@ -90,19 +90,25 @@ from retake_tpu.ops.quantization import quantize_kv_block  # noqa: E402
 
 def append_blocks(
     cache: KVCache,
-    k_blocks: jax.Array,  # [layers, kv_heads, S, head_dim] (bf16/f32)
-    v_blocks: jax.Array,
+    k_blocks: jax.Array,  # [layers, kv_heads, S, head_dim] (bf16/f32; or
+    v_blocks: jax.Array,  #   int8 when k_scales/v_scales are given)
     pos_blocks: jax.Array,  # [layers, 3, S]
     advance: jax.Array,  # scalar int32 — valid_len (text) or keep_len (video)
+    k_scales: jax.Array | None = None,  # [layers, kv_heads, S] f32 — blocks
+    v_scales: jax.Array | None = None,  #   already quantized by the caller
 ) -> KVCache:
     """Write chunk blocks at offset ``length`` for every layer, advance length.
 
-    int8 mode quantizes the blocks per key on the way in (keys are written
-    once and only ever read by attention, so this is the single rounding)."""
+    int8 mode quantizes the blocks per key on the way in, unless the caller
+    passes pre-quantized blocks + scales (the Pallas prefill path quantizes
+    once in the layer so attention and the append share ONE rounding site)."""
     off = cache.length
     if cache.quantized:
-        kq, ks = quantize_kv_block(k_blocks)
-        vq, vs = quantize_kv_block(v_blocks)
+        if k_scales is not None:
+            kq, ks, vq, vs = k_blocks, k_scales, v_blocks, v_scales
+        else:
+            kq, ks = quantize_kv_block(k_blocks)
+            vq, vs = quantize_kv_block(v_blocks)
         return KVCache(
             k=jax.lax.dynamic_update_slice(cache.k, kq, (0, 0, off, 0)),
             v=jax.lax.dynamic_update_slice(cache.v, vq, (0, 0, off, 0)),

@@ -577,6 +577,21 @@ class Qwen2VLEngine:
         """
         if not requests:
             return []
+        if self.attn_impl == "xla" and not getattr(
+            Qwen2VLEngine, "_warned_xla_batch", False
+        ):
+            # batched decode always runs the gapped-einsum path; with the
+            # "xla" debug impl the sequential decode reduces in a different
+            # fp32 order, so batched tokens may diverge within ulps
+            Qwen2VLEngine._warned_xla_batch = True
+            import warnings
+
+            warnings.warn(
+                "generate_batch with attn_implementation 'xla': batched "
+                "decode uses the gapped einsum path; token-exactness vs "
+                "sequential generate is only guaranteed for the default "
+                "'pallas'/'flash' impls", stacklevel=2,
+            )
         max_new_tokens = max_new_tokens or self.retake.max_new_tokens
         states = [
             self.generate(**{k: v for k, v in req.items()
@@ -823,6 +838,15 @@ def prefill_and_decode(
                 f"{n_video_tokens}, features {video_embeds.shape[0]}"
             )
         vstart = int(np.where(ids == video_token_id)[0][0])
+        if not np.all(ids[vstart : vstart + n_video_tokens] == video_token_id):
+            # _concat_embeds assumes ONE contiguous video span; a prompt with
+            # several video blocks would pass the count check above but get
+            # embeddings concatenated at the wrong positions — fail loudly
+            # (the reference's masked_scatter handles any layout; multi-span
+            # inputs are images here, videos are always a single span)
+            raise NotImplementedError(
+                "multiple non-contiguous video token spans in one prompt"
+            )
         embeds = _concat_embeds(
             params, cfg, jnp.asarray(ids_dev), video_embeds,
             vstart, n_video_tokens,
@@ -1026,6 +1050,12 @@ def decode_batch(
 
     if not states:
         return []
+    # all states must come from engines with the same reforge setting: the
+    # per-layer position bases below are derived differently per mode, and a
+    # mixed batch would silently decode some requests at wrong positions
+    assert all(st.reforge == states[0].reforge for st in states), (
+        "decode_batch: mixed reforge settings across prefill states"
+    )
     reforge = states[0].reforge
 
     t0 = time.perf_counter()

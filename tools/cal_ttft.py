@@ -45,9 +45,19 @@ def main():
 
         cfg = Qwen2VLConfig.from_pretrained(args.hf_path)
         params = params_lib.load_safetensors(args.hf_path, cfg)
-        import bench as b
-
-        ids, patches, grid = b.build_request(cfg, num_frames=args.frames)
+        # reference protocol (scripts/utils/cal_ttft.py:182-188): a synthetic
+        # 448px-long-side video goes through the real processor (resize /
+        # normalize / patchify on host), and the tokenizer builds the prompt
+        # — NOT the bench's pre-patchified token stream
+        processor = Qwen2VLProcessor.from_pretrained(args.hf_path)
+        rng = np.random.default_rng(0)
+        video = rng.integers(
+            0, 256, size=(args.frames, 252, 448, 3), dtype=np.uint8
+        )
+        inputs = processor("Describe the video.", video)
+        ids = inputs["input_ids"]
+        patches = inputs["pixel_values_videos"]
+        grid = inputs["video_grid_thw"]
 
     engine = Qwen2VLEngine(cfg, params, rt)
 
