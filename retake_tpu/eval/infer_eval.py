@@ -226,25 +226,29 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 rate = n_done / (time.time() - t_start)
                 print(f"[rank {rank}] {n_done}/{len(indices)} ({rate:.2f}/s)")
 
-        # (sample_meta, PrefillState) accumulated up to eval_batch_size;
-        # each sample is prefilled AS IT ARRIVES so its decoded pixel
-        # arrays (large, and this host's memory is glacial — CLAUDE.md)
-        # are dropped immediately; only device-side KV caches accumulate
-        pending = []
+        # (sample_meta, PrefillState) accumulated up to eval_batch_size,
+        # GROUPED BY DECODE BUCKET (PrefillState.attn_need): batched decode
+        # runs the whole batch at its largest member's attention bucket, so
+        # a short request batched with a long one would pay the long one's
+        # cache sweep every step. Each sample is prefilled AS IT ARRIVES so
+        # its decoded pixel arrays (large, and this host's memory is
+        # glacial — CLAUDE.md) are dropped immediately; only device-side KV
+        # caches — trimmed to each request's own bucket — accumulate.
+        pending: Dict[int, list] = {}
 
-        def flush_batch():
-            if not pending:
+        def flush_batch(bucket):
+            group = pending.pop(bucket, [])
+            if not group:
                 return
             from retake_tpu.runtime.engine import decode_batch
 
-            samples, states = zip(*pending)
+            samples, states = zip(*group)
             results = decode_batch(
                 engine.params, getattr(engine.cfg, "text", engine.cfg),
                 rt, list(states), rt.max_new_tokens, engine.attn_impl,
             )
             for sample, res in zip(samples, results):
                 journal_one(sample, res)
-            pending.clear()
 
         for _, loaded in prefetch_iter(
             indices, load, rt.dataloader_num_workers
@@ -267,10 +271,13 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 _prefill_only=True,
             )
             del inputs, loaded
-            pending.append(((i, message, meta), state))
-            if len(pending) >= bs:
-                flush_batch()
-        flush_batch()
+            pending.setdefault(state.attn_need, []).append(
+                ((i, message, meta), state)
+            )
+            if len(pending[state.attn_need]) >= bs:
+                flush_batch(state.attn_need)
+        for bucket in sorted(pending):
+            flush_batch(bucket)
     return done
 
 

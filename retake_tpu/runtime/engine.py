@@ -63,6 +63,52 @@ def _vit_chunk(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_t", "grid_h", "grid_w", "act_quant",
+                     "mesh"),
+)
+def _vit_chunk_tp(
+    params_visual, cfg: Qwen2VLConfig, patches, grid_t, grid_h, grid_w,
+    act_quant, mesh,
+):
+    """Tensor-parallel vision chunk: shard the FRAME axis over ``tp``.
+
+    Qwen2-VL ViT attention is per-frame (cu_seqlens windows), the rotary
+    tables are purely spatial, and the 2x2 merger is within-frame — so
+    frames are fully independent and frame-sharding needs ZERO collectives
+    (head-sharding would all-reduce every proj/fc2). shard_map (not GSPMD
+    propagation) because the Pallas vit_attention kernel is a custom call
+    XLA cannot partition; inside the shard every op is chip-local. The
+    replicated ViT weights cost ~1.3 GB/chip at so400m scale — the
+    sharding that matters for HBM (LLM layers, KV cache) stays in
+    parallel/mesh.py."""
+    from jax.experimental.shard_map import shard_map
+
+    tp = mesh.shape["tp"]
+    assert grid_t % tp == 0, (grid_t, tp)
+
+    def local(vp, px):
+        return vision.vision_tower(
+            vp, cfg.vision, px, grid_t // tp, grid_h, grid_w,
+            act_quant=act_quant,
+        )
+
+    kw = dict(
+        mesh=mesh,
+        in_specs=(jax.sharding.PartitionSpec(),
+                  jax.sharding.PartitionSpec("tp")),
+        out_specs=jax.sharding.PartitionSpec("tp"),
+    )
+    try:
+        # the Pallas vit_attention call carries no varying-mesh-axes info,
+        # so the replication checker must be off (outputs ARE tp-varying)
+        f = shard_map(local, check_vma=False, **kw)
+    except TypeError:  # older jax spells it check_rep
+        f = shard_map(local, check_rep=False, **kw)
+    return f(params_visual, patches)
+
+
 @partial(jax.jit, static_argnames=("grid_t", "hw", "tgt", "window", "sync"))
 def _dpselect_gather(video_embeds, grid_t, hw, tgt, window, sync):
     bank = video_embeds.reshape(grid_t, hw, -1)
@@ -327,6 +373,12 @@ def _decode_loop_batch(
     rng_keys=None,
     ks_all=None,  # [L, B, KV, S_attn] f32 — int8 KV mode
     vs_all=None,
+    dec_start=None,  # [B] int32 — per-slot decode-region start (continuous
+    #   batching segments); None = gap_start
+    i0=None,  # scalar int32 — global decode steps already taken before this
+    #   segment (write pointer = gap_start + i0 + step); None = 0
+    done0=None,  # [B] bool — slots already finished (or free) at segment
+    #   start; None = first_tokens == eos
 ):
     """Batched decode: one scanned loop, the per-request step fully batched.
 
@@ -352,7 +404,7 @@ def _decode_loop_batch(
         emb = text.embed(params, tokens)  # [B, d]
         hidden, kb, vb = text.decode_step_batch(
             params, cfg, k_all, v_all, emb, base_t, pos_bases + i,
-            final_len, gap_start, i, ks_all, vs_all,
+            final_len, gap_start, i, ks_all, vs_all, dec_start,
         )
         logits = text.final_logits_batch(params, cfg, hidden)  # [B, V]
         if sampling is None:
@@ -387,10 +439,14 @@ def _decode_loop_batch(
         return (nxt, k_all, v_all, ks_all, vs_all, done), nxt
 
     first_tokens = first_tokens.astype(jnp.int32)
-    done0 = first_tokens == cfg.eos_token_id
+    if done0 is None:
+        done0 = first_tokens == cfg.eos_token_id
+    steps = jnp.arange(num_steps)
+    if i0 is not None:
+        steps = steps + i0
     (_, k_all, v_all, ks_all, vs_all, _), tokens = jax.lax.scan(
         body, (first_tokens, k_all, v_all, ks_all, vs_all, done0),
-        jnp.arange(num_steps),
+        steps,
     )
     # the caches must be RETURNED for the donation to be usable — otherwise
     # XLA keeps the input buffers alive next to the scan-carry copy and peak
@@ -463,6 +519,27 @@ class PrefillState:
     final_len: int
     reforge: bool
     result: GenerationResult  # prefill-only result (tokens = [first])
+    # attention bucket this request decodes in (_attn_bucket(final_len +
+    # max_new)); its cache is trimmed to this size at prefill-state creation
+    # so B pending requests hold their OWN need, not B full prefill budgets.
+    # Callers batching mixed-length requests should group by this value —
+    # decode_batch runs the whole batch at the largest member's bucket.
+    attn_need: int = 0
+
+
+@partial(jax.jit, donate_argnames=("cache",), static_argnames=("need",))
+def _trim_cache(cache, need: int):
+    """Shrink a prefilled cache to its decode bucket (donated: frees the
+    full prefill-budget buffers immediately — at a 40960 budget a short
+    request's 8192 bucket returns ~2 GB of HBM per pending request)."""
+    return dataclasses.replace(
+        cache,
+        k=cache.k[:, :, :need],
+        v=cache.v[:, :, :need],
+        pos=cache.pos[:, :, :need],
+        k_scale=None if cache.k_scale is None else cache.k_scale[:, :, :need],
+        v_scale=None if cache.v_scale is None else cache.v_scale[:, :, :need],
+    )
 
 
 class Qwen2VLEngine:
@@ -504,8 +581,24 @@ class Qwen2VLEngine:
         fcs = self.retake.frame_chunk_size or 10**9
         patches = jnp.asarray(pixel_values_videos, dtype=self._vit_dtype())
         aq = self.act_quant and "scale" in self.params["visual"]["blocks"]["qkv"]
+        # TP: shard the frame axis (frames are attention-independent — see
+        # _vit_chunk_tp) whenever the chunk's frame count divides tp
+        tp_mesh = None
+        if self.cache_sharding is not None:
+            m = self.cache_sharding.k.mesh
+            if m.shape.get("tp", 1) > 1:
+                tp_mesh = m
+
+        def vit(chunk, grid_t):
+            if tp_mesh is not None and grid_t % tp_mesh.shape["tp"] == 0:
+                return _vit_chunk_tp(
+                    self.params["visual"], self.cfg, chunk, grid_t, h, w,
+                    aq, tp_mesh,
+                )
+            return _vit_chunk(self.params, self.cfg, chunk, grid_t, h, w, aq)
+
         if t <= fcs:
-            return _vit_chunk(self.params, self.cfg, patches, t, h, w, aq)
+            return vit(patches, t)
         hw = h * w
         merged_per_t = hw // self.cfg.vision.spatial_merge_size**2
         out_buf = None
@@ -514,7 +607,7 @@ class Qwen2VLEngine:
             chunk = patches[i * hw : (i + tc) * hw]
             if tc < fcs:  # pad tail to the common shape; frames are independent
                 chunk = jnp.pad(chunk, ((0, (fcs - tc) * hw), (0, 0)))
-            out = _vit_chunk(self.params, self.cfg, chunk, fcs, h, w, aq)
+            out = vit(chunk, fcs)
             if out_buf is None:
                 out_buf = jnp.zeros((t * merged_per_t, out.shape[-1]), out.dtype)
             out_buf = _write_rows(
@@ -986,10 +1079,13 @@ def prefill_and_decode(
             input_len=s,
             stages=dict(timer.totals) if timer.totals else None,
         )
+        need = min(attn_bucket(final_len + max_new_tokens), budget)
+        if need < budget:
+            kv = _trim_cache(kv, need)
         return PrefillState(
             cache=kv, first_token_host=token_host,
             decode_pos_base=decode_pos_base, final_len=final_len,
-            reforge=reforge, result=result,
+            reforge=reforge, result=result, attn_need=need,
         )
 
     # 6. decode: one scanned device loop, trim at EOS on host

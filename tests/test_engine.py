@@ -462,6 +462,42 @@ def test_generate_batch_mixed_text_only_and_video(tiny, rng):
         np.testing.assert_array_equal(b.tokens, s.tokens)
 
 
+def test_prefill_state_trimmed_and_mixed_bucket_decode(tiny, rng, monkeypatch):
+    """A prefill-only state's cache is trimmed to its own decode bucket
+    (PrefillState.attn_need) instead of holding the full prefill budget, and
+    decode_batch over a mixed-bucket set still matches sequential generate
+    (the short cache pads back up at batch assembly). Bucket granularity is
+    shrunk so tiny CPU shapes produce distinct buckets."""
+    from retake_tpu.runtime import engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "BUDGET_BUCKET", 16)
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    reqs = []
+    for grid_t, gh, gw, plen in ((2, 4, 4, 4), (16, 8, 8, 7)):
+        ids, patches, grid = make_video_request(
+            cfg, rng, grid_t=grid_t, grid_h=gh, grid_w=gw, prompt_len=plen
+        )
+        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                         video_grid_thw=grid))
+    seq = [engine.generate(**r, max_new_tokens=5) for r in reqs]
+    states = [engine.generate(**r, max_new_tokens=5, _prefill_only=True)
+              for r in reqs]
+    assert states[0].attn_need < states[1].attn_need
+    for st in states:
+        assert st.cache.budget == st.attn_need, (st.cache.budget, st.attn_need)
+    results = eng_mod.decode_batch(
+        params, cfg, rt, states, 5, engine.attn_impl
+    )
+    for r, s in zip(results, seq):
+        np.testing.assert_array_equal(r.tokens, s.tokens)
+        assert r.cache_len == s.cache_len
+
+
 def test_video_token_feature_mismatch_raises(tiny, rng):
     """Reference parity: mismatched video token count vs ViT features is an
     explicit error (retake/qwen2_vl.py:649-653), not a silent bad scatter."""
