@@ -364,6 +364,8 @@ def decode_step_batch(
     gap_filled: jax.Array,  # scalar int32 — decode steps already written
     ks_all=None,  # [L, B, KV, S_attn] f32 — int8 cache mode
     vs_all=None,
+    dec_start=None,  # [B] int32 — per-slot decode-region start (continuous
+    #   batching); None = gap_start for every slot
 ):
     """One batched decode step: linears run directly on [B, d] rows and
     attention on batched einsums (no vmap), over gap-layout caches
@@ -411,6 +413,7 @@ def decode_step_batch(
         attn = attn_ops.decode_attention_batch_gapped(
             q_rot.transpose(1, 0, 2), ck, cv, final_len, gap_start,
             gap_filled, k_b, v_b, k_scale=cks, v_scale=cvs,
+            dec_start=dec_start,
         )  # [B, H, D]
         hidden = _layer_out_mlp(cfg, lp, hidden, attn.reshape(b, -1), False)
         return hidden, (k_b, v_b)

@@ -217,6 +217,9 @@ def decode_attention_batch_gapped(
     value_new: jax.Array,  # [B, KV, D]
     k_scale=None,  # [B, KV, S] f32 (int8 cache mode; scales commute)
     v_scale=None,
+    dec_start=None,  # [B] int32 — per-slot decode-region start (continuous
+    #   batching: a request admitted at global step t0 owns
+    #   [gap_start + t0, write ptr)); None = gap_start for every slot
 ) -> jax.Array:
     """Batched single-token attention over gap-layout caches.
 
@@ -227,9 +230,13 @@ def decode_attention_batch_gapped(
     rewrites the whole multi-GB batched cache every step (measured 5.8 of
     13.2 ms/step at B=8). Valid keys are therefore two regions:
     ``[0, final_len[b])`` (prefill, compacted) and
-    ``[gap_start, gap_start + gap_filled)`` (decode); the hole in between
-    is masked. The current token's contribution merges append-free exactly
-    as in ``decode_attention_appendfree``.
+    ``[dec_start[b], gap_start + gap_filled)`` (decode); the hole in
+    between is masked. Under continuous batching a slot admitted mid-run
+    starts its decode region at the then-current write pointer
+    (``dec_start``), so earlier steps' tokens — which belong to whatever
+    request previously held the slot — stay masked. The current token's
+    contribution merges append-free exactly as in
+    ``decode_attention_appendfree``.
     """
     b, num_heads, head_dim = query.shape
     num_kv, s = key_cache.shape[1], key_cache.shape[2]
@@ -238,8 +245,12 @@ def decode_attention_batch_gapped(
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
 
     idx = jnp.arange(s)[None, :]
+    dec0 = (
+        jnp.broadcast_to(gap_start, final_len.shape)
+        if dec_start is None else dec_start
+    )
     valid = (idx < final_len[:, None]) | (
-        (idx >= gap_start) & (idx < gap_start + gap_filled)
+        (idx >= dec0[:, None]) & (idx < gap_start + gap_filled)
     )  # [B, S]
     logits_c = jnp.einsum(
         "bkgd,bktd->bkgt", q, key_cache.astype(q.dtype),

@@ -1,32 +1,33 @@
-"""Batched-serving decode throughput curve (generate_batch) on the real chip.
+"""Serving benchmarks on the real chip.
 
-Measures aggregate decode tokens/s at B=1/2/4/8 with 64-frame 2B requests.
-Reference point (v5e, gap-layout caches): 185 / 340 / 569 / 923 tok/s.
-Decode is HBM-bound on weight reads at batch 1; batching amortizes the
-weight stream until the batch's combined KV reads take over.
+1. Batched decode throughput curve (generate_batch) at B=1/2/4/8 with
+   64-frame 2B requests. Reference point (v5e, gap-layout caches):
+   185 / 340 / 569 / 923 tok/s. Decode is HBM-bound on weight reads at
+   batch 1; batching amortizes the weight stream until the batch's
+   combined KV reads take over.
+2. ``--poisson``: continuous batching (runtime/serve.ContinuousServer) vs
+   static accumulate-then-decode batching on the SAME seeded Poisson
+   arrival trace — per-request latency percentiles + aggregate tok/s.
+   Static batching makes a late arrival wait for the current batch to
+   decode to completion; continuous admission bounds that wait at one
+   decode segment + its own prefill.
 """
+
+import argparse
+import json
+import time
 
 import numpy as np
 
 import jax
 
 import bench
-from retake_tpu.runtime.engine import Qwen2VLEngine
+from retake_tpu.runtime.engine import Qwen2VLEngine, decode_batch
+from retake_tpu.runtime.serve import ContinuousServer
 from retake_tpu.utils.config import RetakeConfig
 
 
-def main():
-    print("devices:", jax.devices(), flush=True)
-    bench._wait_for_hbm(8)
-    cfg, params = bench.build_model()
-    eng = Qwen2VLEngine(cfg, params, RetakeConfig.from_dict(bench.RETAKE_CONFIG))
-
-    reqs = []
-    for _ in range(8):
-        ids, patches, grid = bench.build_request(cfg, num_frames=64)
-        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
-                         video_grid_thw=grid))
-
+def throughput_curve(eng, reqs):
     r = eng.generate(**reqs[0], max_new_tokens=64)  # compile
     r = eng.generate(**reqs[0], max_new_tokens=64)
     tok = len(r.tokens) - 1
@@ -39,6 +40,120 @@ def main():
         dt = out[0].decode_seconds
         print(f"B={b}: {n / dt:7.1f} tok/s "
               f"({dt / (n / b) * 1e3:.2f} ms/step)", flush=True)
+
+
+def _trace(n, mean_interval_s, seed=0):
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(mean_interval_s, size=n)
+    gaps[0] = 0.0
+    return np.cumsum(gaps).tolist()
+
+
+def _stats(name, lat, ttft, n_tokens, wall):
+    rec = {
+        "mode": name,
+        "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+        "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+        "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
+        "ttft_p95_s": round(float(np.percentile(ttft, 95)), 3),
+        "decode_tok_s": round(n_tokens / wall, 1),
+        "wall_s": round(wall, 2),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def run_static(eng, reqs, arrivals, bs, max_new):
+    """Accumulate-then-decode (the eval-harness batching): prefill each
+    request as it arrives; decode when ``bs`` states are pending (or at
+    trace end). A late arrival waits for the in-flight decode."""
+    t0 = time.perf_counter()
+    now = lambda: time.perf_counter() - t0  # noqa: E731
+    lat, ttft, finished = [], [], 0
+    pending = []  # (idx, state)
+
+    def flush():
+        nonlocal finished
+        if not pending:
+            return
+        idxs, states = zip(*pending)
+        res = decode_batch(
+            eng.params, eng.cfg, eng.retake, list(states), max_new,
+            eng.attn_impl,
+        )
+        t = now()
+        for i, r in zip(idxs, res):
+            lat.append(t - arrivals[i])
+            finished += len(r.tokens)
+        pending.clear()
+
+    for i, req in enumerate(reqs):
+        while arrivals[i] > now():
+            time.sleep(min(0.01, arrivals[i] - now()))
+        st = eng.generate(**req, max_new_tokens=max_new, _prefill_only=True)
+        ttft.append(now() - arrivals[i])
+        pending.append((i, st))
+        if len(pending) >= bs:
+            flush()
+    flush()
+    return _stats("static_batch", lat, ttft, finished, now())
+
+
+def run_continuous(eng, reqs, arrivals, bs, max_new):
+    server = ContinuousServer(
+        eng, batch_slots=bs, segment_steps=16, max_new_tokens=max_new,
+    )
+    t0 = time.perf_counter()
+    results = server.run(reqs, arrival_times=arrivals)
+    wall = time.perf_counter() - t0
+    lat = [r.latency_s for r in results]
+    ttft = [r.ttft_s for r in results]
+    n_tok = sum(len(r.tokens) for r in results)
+    return _stats("continuous", lat, ttft, n_tok, wall)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--poisson", action="store_true",
+                   help="continuous-vs-static A/B on a Poisson trace")
+    p.add_argument("--n_requests", type=int, default=12)
+    p.add_argument("--mean_interval_s", type=float, default=1.0)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--max_new", type=int, default=64)
+    args = p.parse_args()
+
+    print("devices:", jax.devices(), flush=True)
+    bench._wait_for_hbm(8)
+    cfg, params = bench.build_model()
+    eng = Qwen2VLEngine(cfg, params, RetakeConfig.from_dict(bench.RETAKE_CONFIG))
+
+    reqs = []
+    for _ in range(max(8, args.n_requests)):
+        ids, patches, grid = bench.build_request(cfg, num_frames=64)
+        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                         video_grid_thw=grid))
+
+    if not args.poisson:
+        throughput_curve(eng, reqs)
+        return
+
+    reqs = reqs[: args.n_requests]
+    arrivals = _trace(args.n_requests, args.mean_interval_s)
+    # warm both paths' compiles off-trace (prefill, batched decode, segment)
+    warm = [dict(r) for r in reqs[: args.batch]]
+    eng.generate_batch(warm, max_new_tokens=args.max_new)
+    ContinuousServer(
+        eng, batch_slots=args.batch, segment_steps=16,
+        max_new_tokens=args.max_new,
+    ).run(warm)
+    static = run_static(eng, reqs, arrivals, args.batch, args.max_new)
+    cont = run_continuous(eng, reqs, arrivals, args.batch, args.max_new)
+    print(json.dumps({
+        "latency_p50_speedup": round(
+            static["latency_p50_s"] / cont["latency_p50_s"], 2),
+        "latency_p95_speedup": round(
+            static["latency_p95_s"] / cont["latency_p95_s"], 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":
