@@ -106,3 +106,49 @@ def test_dp_batched_requests(setup, rng):
         h.block_until_ready()
     assert h.shape == (batch, s, cfg.hidden_size)
     np.testing.assert_array_equal(np.asarray(lengths), [s // 2, s // 2])
+
+
+def test_vit_frame_sharded_matches_single_device(setup, rng):
+    """TP vision tower: frames shard over tp with zero collectives
+    (_vit_chunk_tp); outputs must match the replicated single-device tower
+    exactly up to fp tolerance."""
+    from retake_tpu.runtime import engine as eng_mod
+
+    cfg, params = setup
+    grid_t, h, w = 4, 4, 4
+    patches = jnp.asarray(
+        rng.normal(size=(grid_t * h * w, cfg.vision.patch_input_dim)) * 0.1,
+        jnp.float32,
+    )
+    ref = eng_mod._vit_chunk(params, cfg, patches, grid_t, h, w, False)
+    mesh = mesh_lib.make_mesh(dp=1, tp=2)
+    out = eng_mod._vit_chunk_tp(
+        params["visual"], cfg, patches, grid_t, h, w, False, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4
+    )
+
+
+def test_engine_run_vision_uses_tp_mesh(setup, rng):
+    """Engine-level: with a tp>1 cache sharding the vision tower takes the
+    frame-sharded path and produces the same embeddings."""
+    from retake_tpu.runtime.engine import Qwen2VLEngine
+    from retake_tpu.utils.config import RetakeConfig
+
+    cfg, params = setup
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"frame_chunk_size": 2,
+                              "chunked_prefill_frames": 2}}
+    )
+    grid = np.array([[4, 4, 4]])
+    patches = (rng.normal(size=(4 * 16, cfg.vision.patch_input_dim)) * 0.1
+               ).astype(np.float32)
+    ref = Qwen2VLEngine(cfg, params, rt).run_vision(patches, grid)
+    mesh = mesh_lib.make_mesh(dp=1, tp=2)
+    eng = Qwen2VLEngine(
+        cfg, mesh_lib.shard_params(params, mesh), rt,
+        cache_sharding=mesh_lib.cache_shardings(mesh),
+    )
+    out = eng.run_vision(patches, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
