@@ -55,6 +55,10 @@ def main():
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--frames", type=int, default=None,
                    help="synthetic frame count when no --video is given")
+    p.add_argument("--json", action="store_true",
+                   help="also print one machine-readable JSON line "
+                        "(answers vs expected) — consumed by "
+                        "tools/first_checkpoint_gate.py")
     args = p.parse_args()
 
     from retake_tpu.data.processor import Qwen2VLProcessor
@@ -100,6 +104,9 @@ def main():
             for _ in range(n)
         ]
 
+    from retake_tpu.data.scorers import trim_answer
+
+    answers = []
     for question, expected in zip(DEMO_QUESTIONS, EXPECTED_ANSWERS):
         inputs = processor(question, frames)
         t0 = time.perf_counter()
@@ -110,13 +117,23 @@ def main():
             max_new_tokens=rt.max_new_tokens,
         )
         dt = time.perf_counter() - t0
+        decoded = processor.decode(result.tokens)
+        answers.append(trim_answer(decoded))
         print(f"\nQ: {question.splitlines()[0]}")
-        print(f"A: {processor.decode(result.tokens)!r}")
+        print(f"A: {decoded!r}")
         print(f"expected: {expected}")
         print(
             f"[{dt:.1f}s total | prefill {result.prefill_seconds:.1f}s | "
             f"input {result.input_len} tok -> cache {result.cache_len} tok]"
         )
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "answers": answers,
+            "expected": EXPECTED_ANSWERS,
+            "golden_pass": answers == EXPECTED_ANSWERS,
+        }))
 
 
 if __name__ == "__main__":

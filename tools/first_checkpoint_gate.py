@@ -1,0 +1,156 @@
+"""Day-one acceptance gate for real checkpoints: one command, one verdict.
+
+Everything this repo could NOT validate in the zero-egress build image (no
+checkpoints, no tokenizer files) becomes provable the moment weights exist:
+
+  1. demo golden answers — the reference's de-facto acceptance test
+     (/root/reference/demo.py:158-164,220: 3 MC questions -> A, B, C on the
+     bundled video).
+  2. quantization token agreement — bf16 vs int8 / w8a8 / w8a8+int8-KV
+     greedy agreement (tools/quant_ablation.py); w8a8 and int8-KV are
+     lossy TPU extensions that must clear this gate before being used in
+     production configs.
+  3. a VideoMME slice — the first N samples through the full eval harness
+     (eval/infer_eval.py), checking the pipeline end-to-end and reporting
+     slice accuracy (the full-benchmark <1% parity claim of BASELINE.md is
+     then a full eval run away).
+
+Each stage runs in its own subprocess (a fresh process owns the whole
+chip's HBM; see bench._wait_for_hbm). Emits ONE JSON line:
+  {"pass": bool, "demo": {...}, "quant": {...}, "videomme_slice": {...}}
+
+Usage:
+  python tools/first_checkpoint_gate.py \
+      --hf_path /ckpts/Qwen2-VL-7B-Instruct \
+      --video misc/demo.mp4 \
+      --videomme_anno dataset/videomme/videomme.json \
+      --videomme_videos 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd, timeout_s=3600):
+    out = subprocess.run(
+        [sys.executable] + cmd, capture_output=True, text=True,
+        timeout=timeout_s, cwd=REPO,
+    )
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    return out.returncode, lines, out.stderr
+
+
+def _last_json(lines):
+    for ln in reversed(lines):
+        try:
+            return json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def stage_demo(args):
+    cmd = ["demo.py", "--hf_path", args.hf_path, "--config", args.config,
+           "--json"]
+    if args.video:
+        cmd += ["--video", args.video]
+    rc, lines, err = _run(cmd)
+    rec = _last_json(lines) or {}
+    if rc != 0:
+        return {"ok": False, "error": err[-300:]}
+    rec["ok"] = bool(rec.get("golden_pass"))
+    if not args.video:
+        rec["note"] = "no --video: answers are not the bundled-video goldens"
+        rec["ok"] = False
+    return rec
+
+
+def stage_quant(args):
+    rc, lines, err = _run([
+        "tools/quant_ablation.py", "--hf_path", args.hf_path,
+        "--frames", str(args.quant_frames), "--json",
+    ])
+    rec = _last_json(lines) or {}
+    if rc != 0:
+        return {"ok": False, "error": err[-300:]}
+    agr = rec.get("agreement_vs_bf16", {})
+    rec["threshold"] = args.quant_threshold
+    rec["ok"] = bool(agr) and all(
+        v >= args.quant_threshold for v in agr.values()
+    )
+    return rec
+
+
+def stage_videomme(args):
+    if not args.videomme_anno:
+        return {"ok": False, "error": "no --videomme_anno given"}
+    import yaml
+
+    with open(args.videomme_anno) as f:
+        annos = json.load(f)
+    tmpdir = tempfile.mkdtemp(prefix="ckpt_gate_")
+    sliced = os.path.join(tmpdir, "videomme_slice.json")
+    with open(sliced, "w") as f:
+        json.dump(annos[: args.videomme_samples], f)
+    with open(os.path.join(REPO, args.videomme_config)) as f:
+        cfg = yaml.safe_load(f)
+    cfg["anno_file"] = sliced
+    cfg["output_dir"] = os.path.join(tmpdir, "results")
+    cfg_path = os.path.join(tmpdir, "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    rc, lines, err = _run([
+        "-m", "retake_tpu.eval.infer_eval",
+        "--hf_path", args.hf_path, "--config_path", cfg_path,
+    ], timeout_s=args.videomme_samples * 600)
+    if rc != 0:
+        return {"ok": False, "error": err[-300:]}
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(cfg["output_dir"], "eval_results.csv"),
+                     index_col=0)
+    acc = float(df.iloc[-1, 0])  # "overall" row
+    return {"ok": True, "samples": args.videomme_samples,
+            "slice_accuracy": round(acc, 4), "results_dir": cfg["output_dir"]}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--hf_path", required=True)
+    p.add_argument("--config", default="configs/retake_demo.yaml")
+    p.add_argument("--video", default=None,
+                   help="the reference's bundled demo video (misc/demo.mp4)")
+    p.add_argument("--videomme_anno", default=None)
+    p.add_argument("--videomme_config",
+                   default="configs/qwen2_vl/retake_qwen2-vl_videomme.yaml")
+    p.add_argument("--videomme_samples", type=int, default=16)
+    p.add_argument("--quant_frames", type=int, default=256)
+    p.add_argument("--quant_threshold", type=float, default=0.90,
+                   help="min greedy-token agreement vs bf16 for each "
+                        "quantized mode")
+    p.add_argument("--skip", nargs="*", default=[],
+                   choices=["demo", "quant", "videomme"])
+    args = p.parse_args()
+
+    report = {}
+    if "demo" not in args.skip:
+        report["demo"] = stage_demo(args)
+    if "quant" not in args.skip:
+        report["quant"] = stage_quant(args)
+    if "videomme" not in args.skip:
+        report["videomme_slice"] = stage_videomme(args)
+    report["pass"] = all(v.get("ok") for v in report.values())
+    print(json.dumps(report))
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

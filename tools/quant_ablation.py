@@ -29,6 +29,7 @@ MODES = [
     ("bf16", dict()),
     ("int8-weights", dict(quantization="int8")),
     ("w8a8", dict(quantization="w8a8")),
+    ("int8kv-only", dict(kv_cache_dtype="int8")),  # isolates KV-cache loss
     ("w8a8+int8kv", dict(quantization="w8a8", kv_cache_dtype="int8")),
 ]
 
@@ -66,6 +67,9 @@ def main():
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--frames", type=int, default=256)
     p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--json", action="store_true",
+                   help="also print one JSON line of agreements (consumed "
+                        "by tools/first_checkpoint_gate.py)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -89,6 +93,7 @@ def main():
     ids, patches, grid = bench.build_request(cfg, num_frames=args.frames)
 
     reference = None
+    agreements = {}
     for name, extra in MODES:
         if extra.get("quantization") in ("int8", "w8a8"):
             params = quantize_llm_int8(params_bf)
@@ -108,9 +113,17 @@ def main():
         else:
             n = min(len(toks), len(reference))
             agree = float(np.mean(toks[:n] == reference[:n]))
+            agreements[name] = round(agree, 4)
             print(f"{name:>14}: token agreement vs bf16 = {agree:.3f} "
                   f"({n} compared) ttft={r.prefill_seconds:.2f}s")
         del eng, params
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "agreement_vs_bf16": agreements,
+            "meaningful": bool(args.hf_path and not args.random_weights),
+        }))
 
 
 if __name__ == "__main__":
