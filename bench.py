@@ -11,9 +11,17 @@ Protocol (mirrors the reference's TTFT measurement, scripts/utils/cal_ttft.py:
   * Input: 2048 frames at 448x252 (grid 1024x32x18 -> 147k video tokens).
   * ReTaKe path: demo config (DPSelect keyframe mask, chunked prefill 32
     frames, PivotKV to 32k tokens, pos reforge, YaRN x4).
-  * Baseline: identical chunked prefill with NO KV compression (full cache).
+  * Baselines — a ladder of three "naive full-KV-cache" definitions (see
+    NAIVE_ARM_CONFIGS), each run in its own subprocess:
+      naive_literal   — one forward, full cache, materializing XLA attention
+                        (expected DNF at 2048 frames; bisected to its max)
+      naive_unchunked — one forward, full cache, our flash kernel
+                        (primary vs_baseline denominator)
+      naive_chunked   — chunked prefill + flash + full cache (conservative
+                        rounds-1/2 arm; chunking is a ReTaKe contribution)
   * value = prefill frames/sec/chip for the ReTaKe path;
-    vs_baseline = retake_frames_per_sec / naive_frames_per_sec.
+    vs_baseline = retake fps / naive_unchunked fps (falls back to
+    naive_chunked if the unchunked arm cannot run).
 """
 
 from __future__ import annotations
@@ -107,6 +115,31 @@ RETAKE_CONFIG = {
     },
 }
 
+# Baseline ladder — three definitions of "naive full-KV-cache JAX baseline",
+# weakest claim first. Chunked prefill is itself one of ReTaKe's
+# contributions (SURVEY.md §5), so the honest primary baseline is the
+# UNCHUNKED one; the chunked variant is kept as the conservative arm
+# (continuity with rounds 1-2, and it is the strongest baseline that can be
+# built without PivotKV/DPSelect).
+#
+# naive_literal: what a JAX user writes without any long-video work — ONE
+# forward over the whole sequence, full cache, straightforward masked-einsum
+# attention (materializes [H, S, S] scores). ViT still runs in chunks
+# because an unchunked so400m ViT over 1.18M patches OOMs on its own.
+NAIVE_LITERAL_CONFIG = {
+    "scaling_factor": 4,
+    "attn_implementation": "xla",
+    "longvideo_kwargs": {"frame_chunk_size": 128},
+}
+# naive_unchunked: the literal arm upgraded with our Pallas flash kernel so
+# attention does not materialize — still one forward, still a full cache,
+# no chunked prefill, no compression.
+NAIVE_UNCHUNKED_CONFIG = {
+    "scaling_factor": 4,
+    "longvideo_kwargs": {"frame_chunk_size": 128},
+}
+# naive_chunked (conservative, rounds 1-2 "vs_baseline" arm): chunked
+# prefill + flash + full cache — already has two ReTaKe/TPU contributions.
 BASELINE_CONFIG = {
     "scaling_factor": 4,
     "longvideo_kwargs": {
@@ -114,6 +147,72 @@ BASELINE_CONFIG = {
         "chunked_prefill_frames": 32,
     },
 }
+
+NAIVE_ARM_CONFIGS = {
+    "naive_literal": NAIVE_LITERAL_CONFIG,
+    "naive_unchunked": NAIVE_UNCHUNKED_CONFIG,
+    "naive_chunked": BASELINE_CONFIG,
+}
+
+
+def run_arm(arm: str, frames: int) -> dict:
+    """Run one baseline arm in THIS process; returns a result dict.
+
+    Meant to be called in a fresh subprocess (see run_arm_subprocess): an
+    arm that OOMs leaves the TPU server's HBM poisoned for in-process
+    follow-ups, and the axon server frees a dead client's HBM on its own."""
+    from retake_tpu.runtime.engine import Qwen2VLEngine
+    from retake_tpu.utils.config import RetakeConfig
+
+    _wait_for_hbm(8)
+    cfg, params = build_model()
+    ids, patches, grid = build_request(cfg, num_frames=frames)
+    engine = Qwen2VLEngine(
+        cfg, params, RetakeConfig.from_dict(NAIVE_ARM_CONFIGS[arm])
+    )
+    try:
+        t = time_prefill(engine, ids, patches, grid)
+    except Exception as e:  # noqa: BLE001 — OOM/compile failure IS the datum
+        import re
+
+        msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))  # strip tunnel ANSI
+        msg = " ".join(msg.split())[:160]
+        return {
+            "arm": arm, "frames": frames, "ok": False,
+            "error": f"{type(e).__name__}: {msg}",
+        }
+    return {
+        "arm": arm, "frames": frames, "ok": True,
+        "ttft_s": round(t, 3), "fps": round(frames / t, 2),
+    }
+
+
+def run_arm_subprocess(arm: str, frames: int, timeout_s: int = 2400) -> dict:
+    """Run one arm as `python bench.py --arm <arm> --frames <n>` and parse
+    the last stdout line as JSON."""
+    import os
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--arm", arm, "--frames", str(frames)]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {"arm": arm, "frames": frames, "ok": False,
+                "error": f"timeout after {timeout_s}s"}
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    if out.returncode != 0 or not lines:
+        tail = (out.stderr or out.stdout or "")[-300:]
+        return {"arm": arm, "frames": frames, "ok": False,
+                "error": f"rc={out.returncode}: {tail}"}
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError:
+        return {"arm": arm, "frames": frames, "ok": False,
+                "error": f"unparseable output: {lines[-1][:200]}"}
 
 
 def time_prefill(engine, ids, patches, grid, runs=2):
@@ -240,6 +339,41 @@ def _wait_for_hbm(gb: int = 12, timeout_s: int = 1200) -> None:
             time.sleep(15)
 
 
+def bench_naive_arms() -> dict:
+    """Measure the baseline ladder in fresh subprocesses (each arm owns the
+    whole chip; an OOM arm cannot poison the next one's HBM).
+
+    Both unchunked arms are expected to OOM at 2048 frames (measured:
+    naive_literal materializes [H, 147k, 155k] attention scores;
+    naive_unchunked's single-forward activations — 2x [147k, 8960] MLP
+    transients + the 4.5 GB full cache — exceed 16 GB even with flash
+    attention). Each failing arm is bisected down to the largest frame
+    count it can run at all, so its per-frame ceiling is on record."""
+
+    def measure(arm, fallbacks):
+        res = run_arm_subprocess(arm, NUM_FRAMES, timeout_s=1800)
+        if not res.get("ok"):
+            res["tried_frames"] = [NUM_FRAMES]
+            for f in fallbacks:
+                res["tried_frames"].append(f)
+                sub = run_arm_subprocess(arm, f, timeout_s=1800)
+                if sub.get("ok"):
+                    res["max_frames_ok"] = f
+                    res["ttft_s_at_max"] = sub["ttft_s"]
+                    res["fps_at_max"] = sub["fps"]
+                    break
+        return res
+
+    # fallback points = each arm's measured max (2026-08-17 ladder: literal
+    # compiles/fits only to 64 frames — 128f RESOURCE_EXHAUSTED, 256f+ kill
+    # the compiler outright; unchunked-flash fits to 1536 frames — 18.5 s,
+    # 82.9 fps; one point each keeps the driver-run bench bounded)
+    return {
+        "naive_unchunked": measure("naive_unchunked", (1536,)),
+        "naive_literal": measure("naive_literal", (64,)),
+    }
+
+
 def main():
     import gc
 
@@ -248,7 +382,11 @@ def main():
     from retake_tpu.runtime.engine import Qwen2VLEngine
     from retake_tpu.utils.config import RetakeConfig
 
-    # flagship first: 7B-int8 needs a clean 16 GB HBM
+    # baseline ladder first, in clean subprocesses (parent holds no HBM yet)
+    naive_arms = bench_naive_arms()
+    print(f"# naive arms: {json.dumps(naive_arms)}", flush=True)
+
+    # flagship next: 7B-int8 needs a clean 16 GB HBM
     _wait_for_hbm()
     seven_b = bench_7b_int8()
     jax.clear_caches()
@@ -262,6 +400,28 @@ def main():
     t_retake = time_prefill(retake_engine, ids, patches, grid)
     stages_retake, cache_retake = profile_prefill(retake_engine, ids, patches, grid)
     tok_s_batch, tok_s_single = bench_batch_decode(retake_engine, cfg)
+
+    # lossy TPU-native arm, detail-only (the headline A/B stays bf16 for
+    # protocol parity): same request, W8A8 prefill linears + int8-ViT on the
+    # MXU double-rate path. Accuracy must clear tools/first_checkpoint_gate
+    # before production use — no checkpoints exist in this image.
+    t_retake_w8a8 = None
+    try:
+        from retake_tpu.ops.quantization import (
+            quantize_llm_int8,
+            quantize_vit_int8,
+        )
+
+        params_q = dict(quantize_llm_int8(params))
+        params_q["visual"] = quantize_vit_int8(params_q["visual"])
+        rt_q = json.loads(json.dumps(RETAKE_CONFIG))
+        rt_q["quantization"] = "w8a8"
+        eng_q = Qwen2VLEngine(cfg, params_q, RetakeConfig.from_dict(rt_q))
+        t_retake_w8a8 = time_prefill(eng_q, ids, patches, grid)
+        del eng_q, params_q
+        gc.collect()
+    except Exception as e:  # noqa: BLE001
+        print(f"# w8a8 2B arm skipped: {type(e).__name__}: {e}", flush=True)
     # 2x the headline length: the compressed cache stays at 32k so frames/s
     # holds, while the naive full-cache arm (8.5 GB cache + params + embeds
     # + activations) exceeds 16 GB HBM outright — the reference's "longer
@@ -277,6 +437,15 @@ def main():
 
     fps_retake = NUM_FRAMES / t_retake
     fps_base = NUM_FRAMES / t_base
+    # primary baseline: the unchunked naive arm (chunked prefill is a ReTaKe
+    # contribution, SURVEY.md §5 — the chunked arm is kept as the
+    # conservative rounds-1/2 ratio). Measured: BOTH unchunked naive arms
+    # DNF (RESOURCE_EXHAUSTED) at 2048 frames on 16 GB, so the true naive
+    # ratio at the headline operating point is unbounded; vs_baseline then
+    # falls back to the chunked arm — a finite, conservative lower bound
+    # against a baseline that already borrows ReTaKe's chunking.
+    nu = naive_arms.get("naive_unchunked", {})
+    fps_naive_primary = nu["fps"] if nu.get("ok") else fps_base
     # LLM-prefill-only A/B (vision excluded from both arms): the ViT is a
     # large common additive term, so the end-to-end ratio understates the
     # algorithmic speedup where PivotKV actually acts
@@ -285,6 +454,53 @@ def main():
     detail = {
         "ttft_retake_s": round(t_retake, 3),
         "ttft_naive_full_cache_s": round(t_base, 3),
+        "baseline_arms": {
+            "naive_literal": {
+                "definition": (
+                    "one forward over the whole sequence, full KV cache, "
+                    "masked-einsum XLA attention (what a JAX port without "
+                    "any long-video work computes); ViT chunked so the arm "
+                    "runs at all"
+                ),
+                **naive_arms.get("naive_literal", {}),
+            },
+            "naive_unchunked": {
+                "definition": (
+                    "one forward, full KV cache, our Pallas flash kernel "
+                    "(no chunked prefill / DPSelect / PivotKV) -- the "
+                    "primary vs_baseline denominator"
+                ),
+                **nu,
+            },
+            "naive_chunked": {
+                "definition": (
+                    "chunked prefill (itself a ReTaKe contribution) + flash "
+                    "+ full cache -- conservative rounds-1/2 arm"
+                ),
+                "ok": True, "frames": NUM_FRAMES,
+                "ttft_s": round(t_base, 3), "fps": round(fps_base, 2),
+            },
+        },
+        "vs_naive_chunked": round(fps_retake / fps_base, 3),
+        # measured tools/overlap_ablation.py (2026-08-17): interleaving ViT
+        # chunks with LLM chunk steps recovers -0.1% — one v5e core runs one
+        # program at a time, so the r2-VERDICT "hide the ViT behind the LLM
+        # prefill" item is physically closed; TTFT floor = sum of stage
+        # device times. Further TTFT cuts need less WORK (W8A8 below), not
+        # dispatch reordering.
+        "overlap_note": "vit+llm interleaved dispatch = serial sum "
+                        "(-0.1% measured); single-core TPU serializes",
+        "baseline_note": (
+            "vs_baseline uses the strongest naive arm that RUNS at 2048 "
+            "frames. Both honest naive arms (no chunked prefill) DNF with "
+            "RESOURCE_EXHAUSTED at 2048f on 16 GB, i.e. the naive "
+            "full-KV-cache baseline's frames/s at the headline operating "
+            "point is 0 and the true ratio is unbounded; the finite "
+            "vs_baseline is measured against a baseline already containing "
+            "ReTaKe's chunked prefill."
+            if not nu.get("ok") else
+            "vs_baseline = retake fps / unchunked-naive fps at 2048 frames"
+        ),
         "model": "qwen2-vl-2b-geometry(random bf16)",
         "frames": NUM_FRAMES,
         "stages_retake": stages_retake,
@@ -306,6 +522,14 @@ def main():
             "frames/s with the cache still capped at 32k"
         ),
     }
+    if t_retake_w8a8 is not None:
+        detail["ttft_retake_w8a8_s"] = round(t_retake_w8a8, 3)
+        detail["frames_per_sec_w8a8"] = round(NUM_FRAMES / t_retake_w8a8, 2)
+        detail["note_w8a8"] = (
+            "lossy int8-activation arm (accuracy gate: "
+            "tools/first_checkpoint_gate.py); headline value/vs_baseline "
+            "stay bf16 for protocol parity"
+        )
     if seven_b is not None:
         detail["ttft_7b_w8a8_s"] = round(seven_b[0], 3)
         detail["tpot_7b_int8_ms"] = round(seven_b[1], 2)
@@ -320,7 +544,7 @@ def main():
                 "metric": "prefill_frames_per_sec_per_chip_2048f",
                 "value": round(fps_retake, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps_retake / fps_base, 3),
+                "vs_baseline": round(fps_retake / fps_naive_primary, 3),
                 "detail": detail,
             }
         )
@@ -328,4 +552,13 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        import argparse
+
+        p = argparse.ArgumentParser()
+        p.add_argument("--arm", choices=sorted(NAIVE_ARM_CONFIGS))
+        p.add_argument("--frames", type=int, default=NUM_FRAMES)
+        a = p.parse_args()
+        print(json.dumps(run_arm(a.arm, a.frames)))
+        sys.exit(0)
     sys.exit(main())

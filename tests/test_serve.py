@@ -107,3 +107,135 @@ def test_continuous_serve_rejects_sampling(tiny, rng):
     engine = Qwen2VLEngine(cfg, params, rt)
     with pytest.raises(NotImplementedError, match="greedy"):
         ContinuousServer(engine)
+
+
+def test_continuous_serve_llava(rng):
+    """The server is family-agnostic: LLaVA-OneVision (1-D RoPE, SigLIP
+    tower) serves continuously with the same token parity — its engine
+    exposes the same PrefillState/decode_batch surface."""
+    from retake_tpu.models.llava_onevision import params as lparams_lib
+    from retake_tpu.models.llava_onevision.config import (
+        LlavaOnevisionConfig,
+        SiglipVisionConfig,
+    )
+    from retake_tpu.runtime.llava_engine import LlavaOnevisionEngine
+
+    cfg = LlavaOnevisionConfig(
+        text=Qwen2VLConfig(
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=4096, rope_theta=10000.0,
+            tie_word_embeddings=False, bos_token_id=0, eos_token_id=1,
+            mrope_section=None,
+        ),
+        vision=SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=16, patch_size=4,
+        ),
+        image_token_id=5, video_token_id=6,
+    )
+    params = lparams_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = LlavaOnevisionEngine(cfg, params, rt)
+    reqs = []
+    for frames in (2, 3):
+        n_tok = frames * cfg.tokens_per_frame + 1
+        pre = rng.integers(10, 500, size=4).tolist()
+        post = rng.integers(10, 500, size=6).tolist()
+        ids = np.array(pre + [cfg.video_token_id] * n_tok + post,
+                       dtype=np.int64)
+        vid = rng.integers(
+            0, 255,
+            size=(frames, cfg.vision.image_size, cfg.vision.image_size, 3),
+            dtype=np.uint8,
+        )
+        reqs.append(dict(input_ids=ids, pixel_values_videos=vid))
+    seq = [engine.generate(**r, max_new_tokens=6) for r in reqs]
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=2, max_new_tokens=6,
+        gap_capacity=4,
+    )
+    results = server.run(reqs)
+    for res, s in zip(results, seq):
+        np.testing.assert_array_equal(res.tokens, s.tokens)
+
+
+def test_continuous_serve_int8_kv(tiny, rng):
+    """int8 KV cache under continuous batching: admission pads the scale
+    planes alongside k/v; greedy tokens match the engine's own sequential
+    int8-KV generate. gap_capacity is large enough that NO compaction
+    runs: compaction relocates cache entries, which permutes the fp
+    softmax-reduction order by ulps, and with quantization-coarsened
+    logits an argmax can sit on a knife edge — exact-token equality
+    through compaction is not a sound invariant (compaction correctness
+    is pinned exactly by test_compact_gap_moves_kv_and_scales)."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"kv_cache_dtype": "int8",
+         "longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    reqs = []
+    for grid_t, plen in ((2, 4), (4, 6), (2, 7)):
+        ids, patches, grid = make_video_request(
+            cfg, rng, grid_t=grid_t, prompt_len=plen
+        )
+        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                         video_grid_thw=grid))
+    max_new = 8
+    seq = [engine.generate(**r, max_new_tokens=max_new) for r in reqs]
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=max_new,
+        gap_capacity=64,
+    )
+    results = server.run(reqs)
+    for res, s in zip(results, seq):
+        np.testing.assert_array_equal(res.tokens, s.tokens)
+
+
+def test_compact_gap_moves_kv_and_scales(rng):
+    """_compact_gap folds each slot's decode region [dec_start_b, +c_b)
+    onto its prefill tail [final_len_b, +c_b) and leaves everything below
+    final_len untouched — checked elementwise against a numpy reference,
+    including the int8 scale planes."""
+    from retake_tpu.runtime.serve import _compact_gap
+
+    l, b, kv, s, d = 2, 3, 2, 24, 4
+    k = rng.integers(-127, 127, size=(l, b, kv, s, d)).astype(np.int8)
+    v = rng.integers(-127, 127, size=(l, b, kv, s, d)).astype(np.int8)
+    ks = rng.random((l, b, kv, s)).astype(np.float32)
+    vs = rng.random((l, b, kv, s)).astype(np.float32)
+    gap_start = 12
+    final_len = np.array([5, 9, 0], np.int32)  # slot 2 is free
+    dec_start = np.array([14, 16, 12], np.int32)
+    counts = np.array([4, 2, 0], np.int32)
+
+    def ref(arr):
+        out = arr.copy()
+        for bi in range(b):
+            f, ds, c = final_len[bi], dec_start[bi], counts[bi]
+            out[:, bi, :, f:f + c] = arr[:, bi, :, ds:ds + c]
+        return out
+
+    import jax.numpy as jnp
+
+    ko, vo, kso, vso = _compact_gap(
+        jnp.asarray(k), jnp.asarray(v), jnp.asarray(ks), jnp.asarray(vs),
+        jnp.asarray(final_len), jnp.asarray(dec_start), jnp.asarray(counts),
+        jnp.int32(gap_start),
+    )
+    for got, want in ((ko, ref(k)), (vo, ref(v)),
+                      (kso, ref(ks)), (vso, ref(vs))):
+        # only [0, final_len + counts) is semantically live per slot; the
+        # region beyond is masked by dec_start after compaction — compare
+        # the live prefix exactly
+        got = np.asarray(got)
+        for bi in range(b):
+            end = final_len[bi] + counts[bi]
+            np.testing.assert_array_equal(
+                got[:, bi, :, :end], want[:, bi, :, :end]
+            )
