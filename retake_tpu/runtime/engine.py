@@ -571,11 +571,17 @@ class Qwen2VLEngine:
     def _vit_dtype(self):
         return self.params["visual"]["patch_embed"]["w"].dtype
 
-    def run_vision(self, pixel_values_videos: np.ndarray, video_grid_thw) -> jax.Array:
+    def run_vision(
+        self, pixel_values_videos: np.ndarray, video_grid_thw,
+        on_dispatch=None,
+    ) -> jax.Array:
         """ViT over the video in frame chunks (reference qwen2_vl.py:597-617).
 
         pixel_values_videos: [grid_t*grid_h*grid_w, patch_dim].
         Returns merged LLM-space embeddings [grid_t*grid_h*grid_w/4, d].
+        ``on_dispatch`` (if given) is called after each chunk's dispatch —
+        the continuous-batching server uses it to interleave decode
+        segments with a long admission's prefill (runtime/serve.py).
         """
         t, h, w = (int(x) for x in np.asarray(video_grid_thw).reshape(-1)[:3])
         fcs = self.retake.frame_chunk_size or 10**9
@@ -613,6 +619,8 @@ class Qwen2VLEngine:
             out_buf = _write_rows(
                 out_buf, out[: tc * merged_per_t], jnp.int32(i * merged_per_t)
             )
+            if on_dispatch is not None:
+                on_dispatch()
         return out_buf
 
     # ---------- prefill + decode ----------
@@ -706,6 +714,8 @@ class Qwen2VLEngine:
         pixel_values: Optional[np.ndarray] = None,
         image_grid_thw=None,
         _prefill_only: bool = False,
+        on_dispatch=None,  # serving hook: called after each ViT-chunk /
+        #   prefill-step dispatch so a server can interleave decode work
     ) -> GenerationResult:
         import time
 
@@ -744,7 +754,9 @@ class Qwen2VLEngine:
         keypatch_tokens = np.zeros(len(ids), dtype=bool)
         if pixel_values_videos is not None:
             with timer.stage("vision_tower"):
-                video_embeds = self.run_vision(pixel_values_videos, grid[0])
+                video_embeds = self.run_vision(
+                    pixel_values_videos, grid[0], on_dispatch=on_dispatch
+                )
             t, h, w = (int(x) for x in grid[0])
             m2 = cfg.vision.spatial_merge_size**2
             hw_m = h * w // m2
@@ -808,7 +820,7 @@ class Qwen2VLEngine:
             timer=timer, t_start=t0,
             image_embeds=ie_box, image_token_id=cfg.image_token_id,
             cache_sharding=self.cache_sharding, act_quant=self.act_quant,
-            prefill_only=_prefill_only,
+            prefill_only=_prefill_only, on_dispatch=on_dispatch,
         )
 
 
@@ -833,6 +845,7 @@ def prefill_and_decode(
     cache_sharding=None,
     act_quant: bool = False,
     prefill_only: bool = False,
+    on_dispatch=None,  # called after each plan-step dispatch (serving hook)
 ):
     """Shared chunked-prefill + greedy-decode core (both model families).
 
@@ -990,6 +1003,7 @@ def prefill_and_decode(
     hidden = None
     last_valid = 0
     i = 0
+    hook = on_dispatch if on_dispatch is not None else (lambda: None)
     with timer.stage("prefill_chunks"):
         while i < len(plan):
             step = plan[i]
@@ -1001,6 +1015,7 @@ def prefill_and_decode(
                     False, reforge, attn_impl, min(step["bucket"], budget),
                     act_quant,
                 )
+                hook()
                 last_valid = step["valid"]
                 i += 1
             elif step.get("prompt_len"):
@@ -1012,6 +1027,7 @@ def prefill_and_decode(
                     compress_video, reforge, attn_impl,
                     min(step["bucket"], budget), act_quant,
                 )
+                hook()
                 last_valid = step["valid"] + step["prompt_len"]
                 i += 1
             else:
@@ -1037,6 +1053,7 @@ def prefill_and_decode(
                         step["chunk_len"], compress_video, reforge, attn_impl,
                         min(blk[-1]["bucket"], budget), act_quant,
                     )
+                    hook()
                     last_valid = blk[-1]["valid"]
                 for x in group[len(group) - len(group) % g :]:
                     hidden, kv = _segment_step(
@@ -1046,6 +1063,7 @@ def prefill_and_decode(
                         compress_video, reforge, attn_impl,
                         min(x["bucket"], budget), act_quant,
                     )
+                    hook()
                     last_valid = x["valid"]
                 i = j
 

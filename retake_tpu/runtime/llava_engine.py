@@ -116,9 +116,10 @@ class LlavaOnevisionEngine:
             and "scale" in self.params["vision_tower"]["blocks"]["q"]
         )
 
-    def run_vision(self, frames: np.ndarray) -> jax.Array:
+    def run_vision(self, frames: np.ndarray, on_dispatch=None) -> jax.Array:
         """frames [T, 384, 384, 3] uint8 -> SigLIP features [T, 729, 1152]
-        in frame chunks (reference llava_onevision.py:424-439)."""
+        in frame chunks (reference llava_onevision.py:424-439).
+        ``on_dispatch``: serving hook, see Qwen2VLEngine.run_vision."""
         t = frames.shape[0]
         s = self.cfg.vision.image_size
         assert frames.shape[1:3] == (s, s), (
@@ -141,6 +142,8 @@ class LlavaOnevisionEngine:
             if out_buf is None:
                 out_buf = jnp.zeros((t,) + out.shape[1:], out.dtype)
             out_buf = _write_rows(out_buf, out, jnp.int32(i))
+            if on_dispatch is not None:
+                on_dispatch()
         return out_buf
 
     def get_chunk_tokens(self, num_frames: int) -> Optional[int]:
@@ -197,6 +200,7 @@ class LlavaOnevisionEngine:
         pixel_values: Optional[np.ndarray] = None,  # [n, p, S, S, 3] u8
         image_sizes=None,  # [n, 2] (H, W)
         _prefill_only: bool = False,
+        on_dispatch=None,  # serving hook (see Qwen2VLEngine.generate)
     ) -> GenerationResult:
         import time
 
@@ -219,7 +223,9 @@ class LlavaOnevisionEngine:
         if pixel_values_videos is not None:
             num_frames = int(pixel_values_videos.shape[0])
             with timer.stage("vision_tower"):
-                features = self.run_vision(pixel_values_videos)
+                features = self.run_vision(
+                    pixel_values_videos, on_dispatch=on_dispatch
+                )
             t = num_frames
             hw = cfg.vision.num_patches
             tgt = t
@@ -301,6 +307,7 @@ class LlavaOnevisionEngine:
             timer=timer, t_start=t_start,
             image_embeds=ie_box, image_token_id=cfg.image_token_id,
             act_quant=self.act_quant, prefill_only=_prefill_only,
+            on_dispatch=on_dispatch,
         )
 
     def generate_batch(

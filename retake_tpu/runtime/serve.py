@@ -129,6 +129,7 @@ class ContinuousServer:
         max_new_tokens: Optional[int] = None,
         prefill_bucket: Optional[int] = None,
         gap_capacity: Optional[int] = None,
+        interleave_prefill: bool = True,
     ):
         if engine.retake.do_sample:
             raise NotImplementedError(
@@ -142,6 +143,19 @@ class ContinuousServer:
         self.max_new = int(max_new_tokens or engine.retake.max_new_tokens)
         self.p_bucket = prefill_bucket  # resolved at first admission
         self.gap_cap = int(gap_capacity or max(4 * self.seg, 128))
+        # interleaved chunked prefill: during an admission's prefill, dispatch
+        # one BLIND decode segment per prefill-chunk dispatch (engine
+        # on_dispatch hook). Blind = no host read: the carry token rides as a
+        # device array (tokens[-1] of the previous segment) and EOS detection
+        # waits until the staged segments are harvested after the prefill —
+        # post-EOS slots decode garbage that harvest trims (same waste the
+        # plain batched decode pays after a request finishes). In-flight
+        # requests' TPOT during a long admission is then bounded by one
+        # prefill dispatch + one segment instead of the whole prefill.
+        self.interleave = bool(interleave_prefill)
+        self.staged = []  # un-harvested segment token arrays (device)
+        self.emitted = np.zeros(self.b, np.int32)
+        self._slot_req = None
 
     # ---------- internal device/host state ----------
 
@@ -161,9 +175,13 @@ class ContinuousServer:
         self.pos_rest = np.zeros(self.b, np.int32)  # admission-adjusted
         self.final_len = np.zeros(self.b, np.int32)
         self.dec_start = np.full(self.b, self.p_bucket, np.int32)
-        self.cur_tok = np.zeros(self.b, np.int32)
+        # the scan-carry token lives ON DEVICE (tokens[-1] of the previous
+        # segment) so blind segments need no host read between dispatches
+        self.cur_dev = jnp.zeros(self.b, jnp.int32)
         self.done = np.ones(self.b, bool)  # free slots decode as done
         self.f_global = 0  # decode steps since last compaction
+        self.emitted = np.zeros(self.b, np.int32)  # segment steps per tenant
+        self.staged: list = []  # un-harvested segment token arrays [seg, B]
 
     def _admit(self, slot: int, st: PrefillState, req_id: int):
         cache = st.cache
@@ -193,18 +211,21 @@ class ContinuousServer:
         self.pos_rest[slot] = st.decode_pos_base - self.f_global
         self.final_len[slot] = fl
         self.dec_start[slot] = self.p_bucket + self.f_global
-        self.cur_tok[slot] = st.first_token_host
+        self.cur_dev = self.cur_dev.at[slot].set(st.first_token_host)
+        self.emitted[slot] = 0
         self.done[slot] = st.first_token_host == self.cfg.eos_token_id
 
-    def _segment(self) -> np.ndarray:
-        """Run ``seg`` decode steps; returns tokens [seg, B]."""
+    def _segment(self) -> None:
+        """Dispatch ``seg`` decode steps and STAGE the token array (a device
+        array — no host read here; run()'s drain harvests). The scan carry
+        for the next segment is ``tokens[-1]`` on device."""
         tokens, (self.k_all, self.v_all, self.ks_all, self.vs_all) = (
             _decode_loop_batch(
                 self.engine.params, self.cfg,
                 self.k_all, self.v_all,
                 jnp.asarray(self.base_t), jnp.asarray(self.pos_rest),
                 jnp.asarray(self.final_len), jnp.int32(self.p_bucket),
-                jnp.asarray(self.cur_tok), self.seg,
+                self.cur_dev, self.seg,
                 None, None, self.ks_all, self.vs_all,
                 dec_start=jnp.asarray(self.dec_start),
                 i0=jnp.int32(self.f_global),
@@ -212,7 +233,34 @@ class ContinuousServer:
             )
         )
         self.f_global += self.seg
-        return np.asarray(tokens)
+        self.cur_dev = tokens[-1]
+        self.emitted = self.emitted + np.int32(self.seg)
+        self.staged.append(tokens)
+
+    def _counts(self) -> np.ndarray:
+        """Gap-region token count per slot = write-pointer distance since
+        its dec_start (includes post-EOS garbage of not-yet-harvested
+        slots — those columns are part of the slot's contiguous written
+        region and must move with it at compaction)."""
+        counts = np.zeros(self.b, np.int32)
+        for s in getattr(self, "_slot_req", {}):
+            counts[s] = self.p_bucket + self.f_global - self.dec_start[s]
+        return counts
+
+    def _on_prefill_dispatch(self):
+        """Engine hook (interleaved chunked prefill): one BLIND decode
+        segment per prefill-chunk dispatch, so in-flight requests keep
+        decoding while a long admission prefills. Skipped when any tenant
+        could exceed its token budget within the segment."""
+        slot_req = getattr(self, "_slot_req", None)
+        if not slot_req or not hasattr(self, "k_all"):
+            return
+        if any(self.max_new - 1 - self.emitted[s] < self.seg
+               for s in slot_req):
+            return
+        if self.f_global + self.seg > self.gap_cap:
+            self._compact(self._counts())
+        self._segment()
 
     def _compact(self, counts: np.ndarray):
         self.k_all, self.v_all, self.ks_all, self.vs_all = _compact_gap(
@@ -257,7 +305,10 @@ class ContinuousServer:
 
         def admit_ready():
             nonlocal next_req
-            while next_req < n and free_slots():
+            while next_req < n:
+                drain_staged()  # may free slots finished in blind segments
+                if not free_slots():
+                    return
                 # block for the next arrival only when the server is idle
                 if arrivals[next_req] > now():
                     if slot_req:
@@ -268,7 +319,12 @@ class ContinuousServer:
                 st = self.engine.generate(
                     **{k: v for k, v in req.items() if k != "max_new_tokens"},
                     max_new_tokens=self.max_new, _prefill_only=True,
+                    on_dispatch=(self._on_prefill_dispatch
+                                 if self.interleave else None),
                 )
+                # blind segments staged during THIS prefill predate the
+                # admission — harvest them before the new tenant takes a slot
+                drain_staged()
                 if self.p_bucket is None:
                     self.p_bucket = st.attn_need
                 if not hasattr(self, "k_all"):
@@ -298,31 +354,42 @@ class ContinuousServer:
             self.final_len[slot] = 0
             self.dec_start[slot] = self.p_bucket + self.f_global
 
-        while next_req < n or slot_req:
-            admit_ready()
-            if not slot_req:
-                continue
-            if self.f_global + self.seg > self.gap_cap:
-                counts = np.zeros(self.b, np.int32)
-                for s, _ in slot_req.items():
-                    counts[s] = len(slot_tokens[s]) - 1
-                self._compact(counts)
-            toks = self._segment()  # [seg, B]
-            t_seg = now()
-            for slot in list(slot_req):
-                col = toks[:, slot]
-                buf = slot_tokens[slot]
-                room = self.max_new - len(buf)
-                col = col[:room]
-                eos = np.flatnonzero(col == self.cfg.eos_token_id)
-                if len(eos):
-                    buf.extend(col[: eos[0] + 1].tolist())
-                    _finish(slot)
+        def drain_staged():
+            """Harvest staged segment tokens in dispatch order: extend each
+            live slot's buffer, finish at EOS / token budget. Blind-mode
+            slots that finished mid-prefill get their finish_s stamped here
+            (late by the prefill remainder — the tokens themselves were
+            produced earlier on device)."""
+            while self.staged:
+                toks = np.asarray(self.staged.pop(0))  # [seg, B]
+                for slot in list(slot_req):
+                    col = toks[:, slot]
+                    buf = slot_tokens[slot]
+                    room = self.max_new - len(buf)
+                    if room <= 0:
+                        _finish(slot)
+                        continue
+                    col = col[:room]
+                    eos = np.flatnonzero(col == self.cfg.eos_token_id)
+                    if len(eos):
+                        buf.extend(col[: eos[0] + 1].tolist())
+                        _finish(slot)
+                        continue
+                    buf.extend(col.tolist())
+                    if len(buf) >= self.max_new:
+                        _finish(slot)
+
+        self._slot_req = slot_req  # the prefill-dispatch hook reads these
+        try:
+            while next_req < n or slot_req:
+                admit_ready()
+                if not slot_req:
                     continue
-                buf.extend(col.tolist())
-                self.cur_tok[slot] = buf[-1]
-                if len(buf) >= self.max_new:
-                    _finish(slot)
-            del t_seg
+                if self.f_global + self.seg > self.gap_cap:
+                    self._compact(self._counts())
+                self._segment()
+                drain_staged()
+        finally:
+            self._slot_req = None
         assert all(r is not None for r in results)
         return results

@@ -239,3 +239,41 @@ def test_compact_gap_moves_kv_and_scales(rng):
             np.testing.assert_array_equal(
                 got[:, bi, :, :end], want[:, bi, :, :end]
             )
+
+
+def test_interleaved_prefill_runs_blind_segments(tiny, rng):
+    """While a long request prefills, the engine's on_dispatch hook must
+    run BLIND decode segments for the already-live slot (device-carried
+    tokens, no host read), including gap compactions mid-prefill — and the
+    final tokens still match sequential generate exactly."""
+    engine, _ = _build(tiny, rng, n_reqs=0)
+    reqs = []
+    ids, patches, grid = make_video_request(cfg=engine.cfg, rng=rng,
+                                            grid_t=2, prompt_len=4)
+    reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                     video_grid_thw=grid))
+    ids, patches, grid = make_video_request(cfg=engine.cfg, rng=rng,
+                                            grid_t=16, grid_h=8, grid_w=8,
+                                            prompt_len=5)
+    reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                     video_grid_thw=grid))
+    max_new = 40
+    seq = [engine.generate(**r, max_new_tokens=max_new) for r in reqs]
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=2, max_new_tokens=max_new,
+        gap_capacity=8,  # small: forces compaction DURING blind mode
+    )
+    blind = 0
+    orig = server._on_prefill_dispatch
+
+    def spy():
+        nonlocal blind
+        before = len(server.staged)
+        orig()
+        blind += len(server.staged) - before
+
+    server._on_prefill_dispatch = spy
+    results = server.run(reqs)
+    assert blind > 0, "no blind segments ran during the long prefill"
+    for res, s in zip(results, seq):
+        np.testing.assert_array_equal(res.tokens, s.tokens)

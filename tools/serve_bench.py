@@ -112,10 +112,55 @@ def run_continuous(eng, reqs, arrivals, bs, max_new):
     return _stats("continuous", lat, ttft, n_tok, wall)
 
 
+def run_long_admission(eng, max_new=192):
+    """Interleaved-chunked-prefill A/B: a short request is decoding when a
+    LONG (512-frame) request gets admitted. With interleave off, the short
+    request's decode stalls for the whole long prefill; with it on, decode
+    segments ride between the prefill's chunk dispatches."""
+    import bench as b
+
+    short = dict(zip(
+        ("input_ids", "pixel_values_videos", "video_grid_thw"),
+        b.build_request(eng.cfg, num_frames=64),
+    ))
+    long_req = dict(zip(
+        ("input_ids", "pixel_values_videos", "video_grid_thw"),
+        b.build_request(eng.cfg, num_frames=512),
+    ))
+    out = {}
+    for label, inter in (("interleave_off", False), ("interleave_on", True)):
+        server = ContinuousServer(
+            eng, batch_slots=2, segment_steps=16, max_new_tokens=max_new,
+            interleave_prefill=inter,
+        )
+        server.run([dict(short), dict(long_req)])  # compile both paths
+        server = ContinuousServer(
+            eng, batch_slots=2, segment_steps=16, max_new_tokens=max_new,
+            interleave_prefill=inter,
+        )
+        res = server.run([dict(short), dict(long_req)],
+                         arrival_times=[0.0, 0.3])
+        out[label] = {
+            "short_latency_s": round(res[0].latency_s, 3),
+            "long_ttft_s": round(res[1].ttft_s, 3),
+            "long_latency_s": round(res[1].latency_s, 3),
+        }
+        print(json.dumps({label: out[label]}), flush=True)
+    stall_off = out["interleave_off"]["short_latency_s"]
+    stall_on = out["interleave_on"]["short_latency_s"]
+    print(json.dumps({
+        "short_request_speedup_under_long_admission":
+            round(stall_off / stall_on, 2),
+    }), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--poisson", action="store_true",
                    help="continuous-vs-static A/B on a Poisson trace")
+    p.add_argument("--long_admission", action="store_true",
+                   help="interleaved-prefill A/B: short request decoding "
+                        "while a 512-frame request is admitted")
     p.add_argument("--n_requests", type=int, default=12)
     p.add_argument("--mean_interval_s", type=float, default=1.0)
     p.add_argument("--batch", type=int, default=4)
@@ -133,6 +178,9 @@ def main():
         reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
                          video_grid_thw=grid))
 
+    if args.long_admission:
+        run_long_admission(eng)
+        return
     if not args.poisson:
         throughput_curve(eng, reqs)
         return
