@@ -187,14 +187,9 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
         return i, message, meta, inputs
 
     bs = max(1, int(getattr(rt, "eval_batch_size", 1)))
-    if bs > 1 and rt.do_sample:
-        # sampled draws in a batched loop depend on the request's batch slot
-        # (engine.generate_batch docstring), so resumed runs or a different
-        # eval_batch_size would change benchmark answers — keep sampling
-        # reproducible per sample
-        print("[eval] do_sample=true: forcing eval_batch_size=1 "
-              "(batched sampling draws depend on batch packing)")
-        bs = 1
+    # batched sampling is safe: draw keys derive from (seed, request-own
+    # step) — the sequential loop's exact schedule — so answers don't
+    # depend on batch packing or resume boundaries (engine.generate_batch)
     t_start = time.time()
     n_done = 0
     with open(shard_file, "a") as journal:

@@ -370,7 +370,7 @@ def _decode_loop_batch(
     final_len, gap_start, first_tokens,
     num_steps: int,
     sampling: Optional[Tuple] = None,
-    rng_keys=None,
+    rng_loop=None,  # ONE key — the sequential loop's fold_in(seed_key, 1)
     ks_all=None,  # [L, B, KV, S_attn] f32 — int8 KV mode
     vs_all=None,
     dec_start=None,  # [B] int32 — per-slot decode-region start (continuous
@@ -379,6 +379,8 @@ def _decode_loop_batch(
     #   segment (write pointer = gap_start + i0 + step); None = 0
     done0=None,  # [B] bool — slots already finished (or free) at segment
     #   start; None = first_tokens == eos
+    step_off=None,  # [B] int32 — per-slot global-step offset so sampling
+    #   keys derive from the REQUEST-OWN step (i - step_off); None = 0
 ):
     """Batched decode: one scanned loop, the per-request step fully batched.
 
@@ -410,7 +412,14 @@ def _decode_loop_batch(
         if sampling is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
-            keys = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(rng_keys)
+            # keys depend on the REQUEST-OWN step only — fold_in(rng_loop,
+            # own_step) is exactly the sequential loop's key schedule, so
+            # sampled draws are token-exact vs per-request generate and
+            # independent of slot packing / arrival order
+            own = jnp.broadcast_to(i, tokens.shape)
+            if step_off is not None:
+                own = i - step_off
+            keys = jax.vmap(lambda o: jax.random.fold_in(rng_loop, o))(own)
             nxt = jax.vmap(
                 lambda lg, kk: _select_token(lg, kk, sampling)
             )(logits, keys)
@@ -672,9 +681,10 @@ class Qwen2VLEngine:
         ("pallas"/"flash", whose single-request decode uses the identical
         append-free softmax merge); the "xla" debug impl decodes through a
         different fp32 reduction order and may diverge within ulps. With
-        ``do_sample`` the draws are deterministic under a fixed seed but
-        depend on a request's slot in the batch (they differ from
-        sequential calls).
+        ``do_sample`` the keys derive from (seed, request-own step) — the
+        sequential loop's exact schedule — so sampled draws are ALSO
+        token-exact vs per-request ``generate`` and independent of slot
+        packing (up to the same fp caveats as greedy).
         """
         if not requests:
             return []
@@ -1247,13 +1257,10 @@ def decode_batch(
             )
         base_key = jax.random.key(int(getattr(rt, "seed", 0)))
         rng_loop = jax.random.fold_in(base_key, 1)
-        rng_keys = jax.vmap(lambda b: jax.random.fold_in(rng_loop, b))(
-            jnp.arange(nb)
-        )
         tokens, caches_out = _decode_loop_batch(
             params, cfg, k_all, v_all, base_t, pos_bases, final_lens,
             jnp.int32(gap_start), first, max_new_tokens - 1,
-            sampling, rng_keys, ks_all, vs_all,
+            sampling, rng_loop, ks_all, vs_all,
         )
         del k_all, v_all, ks_all, vs_all, caches_out  # returned for aliasing
         tokens = np.asarray(tokens)  # [steps, B]

@@ -35,9 +35,11 @@ Invariants that keep the hot path fast (no scatter, no recompiles):
   rewrites the cache once per ~G steps (amortized), which is exactly the
   cost the uniform-write layout avoids paying EVERY step.
 
-Greedy only: sampled draws depend on batch-slot history, which continuous
-admission makes arrival-order-dependent — refuse rather than silently
-produce irreproducible draws.
+Sampling is reproducible: draw keys derive from (seed, request-own step)
+— the sequential loop's exact key schedule — so sampled serving produces
+the same tokens as per-request ``generate`` regardless of arrival order,
+slot packing, or compaction timing (up to the same fp-reduction caveats
+as greedy parity).
 """
 
 from __future__ import annotations
@@ -131,11 +133,6 @@ class ContinuousServer:
         gap_capacity: Optional[int] = None,
         interleave_prefill: bool = True,
     ):
-        if engine.retake.do_sample:
-            raise NotImplementedError(
-                "continuous batching is greedy-only: sampled draws would "
-                "depend on arrival order / slot packing"
-            )
         self.engine = engine
         self.cfg = getattr(engine.cfg, "text", engine.cfg)
         self.b = int(batch_slots)
@@ -156,6 +153,22 @@ class ContinuousServer:
         self.staged = []  # un-harvested segment token arrays (device)
         self.emitted = np.zeros(self.b, np.int32)
         self._slot_req = None
+        # sampling: keys derive from (seed, request-own step) — the
+        # sequential loop's exact schedule — so sampled serving is
+        # token-exact vs per-request generate and independent of arrival
+        # order / slot packing (engine._decode_loop_batch)
+        rt = engine.retake
+        self.sampling = None
+        self.rng_loop = None
+        if rt.do_sample:
+            self.sampling = (
+                float(getattr(rt, "temperature", 1.0)),
+                float(getattr(rt, "top_p", 1.0)),
+                int(getattr(rt, "top_k", 0)),
+            )
+            self.rng_loop = jax.random.fold_in(
+                jax.random.key(int(getattr(rt, "seed", 0))), 1
+            )
 
     # ---------- internal device/host state ----------
 
@@ -182,6 +195,8 @@ class ContinuousServer:
         self.f_global = 0  # decode steps since last compaction
         self.emitted = np.zeros(self.b, np.int32)  # segment steps per tenant
         self.staged: list = []  # un-harvested segment token arrays [seg, B]
+        # sampling-key offset: request-own step = global i - step_off[slot]
+        self.step_off = np.zeros(self.b, np.int32)
 
     def _admit(self, slot: int, st: PrefillState, req_id: int):
         cache = st.cache
@@ -213,6 +228,7 @@ class ContinuousServer:
         self.dec_start[slot] = self.p_bucket + self.f_global
         self.cur_dev = self.cur_dev.at[slot].set(st.first_token_host)
         self.emitted[slot] = 0
+        self.step_off[slot] = self.f_global
         self.done[slot] = st.first_token_host == self.cfg.eos_token_id
 
     def _segment(self) -> None:
@@ -226,10 +242,11 @@ class ContinuousServer:
                 jnp.asarray(self.base_t), jnp.asarray(self.pos_rest),
                 jnp.asarray(self.final_len), jnp.int32(self.p_bucket),
                 self.cur_dev, self.seg,
-                None, None, self.ks_all, self.vs_all,
+                self.sampling, self.rng_loop, self.ks_all, self.vs_all,
                 dec_start=jnp.asarray(self.dec_start),
                 i0=jnp.int32(self.f_global),
                 done0=jnp.asarray(self.done),
+                step_off=jnp.asarray(self.step_off),
             )
         )
         self.f_global += self.seg
@@ -273,6 +290,8 @@ class ContinuousServer:
         # row0 = base + F: F resets, fold the consumed F into the bases
         self.base_t = self.base_t + np.int32(self.f_global)
         self.pos_rest = self.pos_rest + np.int32(self.f_global)
+        # own_step = i - step_off: i rebases by -F, so step_off follows
+        self.step_off = self.step_off - np.int32(self.f_global)
         self.f_global = 0
 
     # ---------- the serving loop ----------

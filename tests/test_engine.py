@@ -508,3 +508,27 @@ def test_video_token_feature_mismatch_raises(tiny, rng):
     engine = Qwen2VLEngine(cfg, params, RetakeConfig())
     with pytest.raises(ValueError, match="do not match"):
         engine.generate(ids, patches4, grid4, max_new_tokens=2)
+
+
+def test_generate_batch_sampling_matches_sequential(tiny, rng):
+    """Batched SAMPLED decode is token-exact vs sequential generate: draw
+    keys derive from (seed, request-own step) — the same schedule the
+    sequential loop uses — not from the batch slot."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"do_sample": True, "temperature": 1.2, "top_k": 20, "seed": 5,
+         "longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    reqs = []
+    for grid_t, plen in ((2, 5), (4, 3)):
+        ids, patches, grid = make_video_request(
+            cfg, rng, grid_t=grid_t, prompt_len=plen
+        )
+        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                         video_grid_thw=grid))
+    seq = [engine.generate(**r, max_new_tokens=6) for r in reqs]
+    batch = engine.generate_batch(reqs, max_new_tokens=6)
+    for b, s in zip(batch, seq):
+        np.testing.assert_array_equal(b.tokens, s.tokens)

@@ -97,16 +97,34 @@ def test_continuous_serve_staggered_admission(tiny, rng):
         np.testing.assert_array_equal(res.tokens, s.tokens)
 
 
-def test_continuous_serve_rejects_sampling(tiny, rng):
+def test_continuous_serve_sampling_matches_sequential(tiny, rng):
+    """Sampled serving reproduces per-request generate exactly: draw keys
+    derive from (seed, request-own step) — the sequential loop's key
+    schedule — so arrival order and slot packing don't change draws. The
+    staggered third request exercises a non-zero step offset."""
     _, cfg, params = tiny
     rt = RetakeConfig.from_dict(
-        {"do_sample": True,
+        {"do_sample": True, "temperature": 1.3, "top_p": 0.95, "seed": 11,
          "longvideo_kwargs": {"chunked_prefill_frames": 2,
                               "frame_chunk_size": 2}}
     )
     engine = Qwen2VLEngine(cfg, params, rt)
-    with pytest.raises(NotImplementedError, match="greedy"):
-        ContinuousServer(engine)
+    reqs = []
+    for grid_t, plen in ((2, 4), (4, 6), (2, 7)):
+        ids, patches, grid = make_video_request(
+            cfg, rng, grid_t=grid_t, prompt_len=plen
+        )
+        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                         video_grid_thw=grid))
+    max_new = 8
+    seq = [engine.generate(**r, max_new_tokens=max_new) for r in reqs]
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=2, max_new_tokens=max_new,
+        gap_capacity=64,  # compaction-free: exact parity (fp knife edges)
+    )
+    results = server.run(reqs, arrival_times=[0.0, 0.0, 0.01])
+    for res, s in zip(results, seq):
+        np.testing.assert_array_equal(res.tokens, s.tokens)
 
 
 def test_continuous_serve_llava(rng):
