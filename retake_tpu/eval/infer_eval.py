@@ -240,7 +240,7 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
             samples, states = zip(*group)
             results = decode_batch(
                 engine.params, getattr(engine.cfg, "text", engine.cfg),
-                rt, list(states), rt.max_new_tokens, engine.attn_impl,
+                rt, list(states), rt.max_new_tokens,
             )
             for sample, res in zip(samples, results):
                 journal_one(sample, res)

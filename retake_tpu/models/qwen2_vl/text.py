@@ -366,6 +366,8 @@ def decode_step_batch(
     vs_all=None,
     dec_start=None,  # [B] int32 — per-slot decode-region start (continuous
     #   batching); None = gap_start for every slot
+    attn_impl: str = "xla",  # "pallas"/"flash": dead-block-skipping decode
+    #   kernel (ops/pallas/decode_gapped.py); "xla": full-bucket einsum
 ):
     """One batched decode step: linears run directly on [B, d] rows and
     attention on batched einsums (no vmap), over gap-layout caches
@@ -413,7 +415,7 @@ def decode_step_batch(
         attn = attn_ops.decode_attention_batch_gapped(
             q_rot.transpose(1, 0, 2), ck, cv, final_len, gap_start,
             gap_filled, k_b, v_b, k_scale=cks, v_scale=cvs,
-            dec_start=dec_start,
+            dec_start=dec_start, impl=attn_impl,
         )  # [B, H, D]
         hidden = _layer_out_mlp(cfg, lp, hidden, attn.reshape(b, -1), False)
         return hidden, (k_b, v_b)

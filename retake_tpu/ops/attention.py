@@ -220,6 +220,14 @@ def decode_attention_batch_gapped(
     dec_start=None,  # [B] int32 — per-slot decode-region start (continuous
     #   batching: a request admitted at global step t0 owns
     #   [gap_start + t0, write ptr)); None = gap_start for every slot
+    impl: str = "xla",  # "pallas"/"flash": dead-block-skipping kernel
+    #   (ops/pallas/decode_gapped.py) — HBM reads track the LIVE regions
+    #   instead of B x bucket; "xla": full-bucket masked einsum. The kernel
+    #   engages only for bf16 caches: int8 mode measured 2-4x SLOWER than
+    #   the XLA einsum at every shape (tools/decode_gapped_bench.py —
+    #   [1,1,BK,1] scale DMA + whole-block VPU dequant vs XLA's
+    #   half-the-bytes read with fused dequant), so quantized caches route
+    #   to the einsum regardless of impl.
 ) -> jax.Array:
     """Batched single-token attention over gap-layout caches.
 
@@ -243,6 +251,29 @@ def decode_attention_batch_gapped(
     group = num_heads // num_kv
     q = query.reshape(b, num_kv, group, head_dim)
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+
+    if impl in ("pallas", "flash") and k_scale is None:
+        from retake_tpu.ops.pallas.decode_gapped import (
+            decode_gapped_flash_state,
+        )
+
+        dec0 = (
+            jnp.broadcast_to(gap_start, final_len.shape)
+            if dec_start is None else dec_start
+        )
+        acc, m, l = decode_gapped_flash_state(
+            q, key_cache, value_cache, final_len, dec0,
+            gap_start + gap_filled, k_scale, v_scale,
+        )  # acc [B,KV,G,D] f32 (unnormalized), m/l [B,KV,G]
+        logit_s = jnp.einsum(
+            "bkgd,bkd->bkg", q, key_new, preferred_element_type=jnp.float32
+        ) * scale
+        m2 = jnp.maximum(m, logit_s)
+        w_acc = jnp.exp(m - m2)[..., None]
+        w_s = jnp.exp(logit_s - m2)[..., None]
+        out = (acc * w_acc + w_s * value_new[:, :, None, :].astype(
+            jnp.float32)) / (l[..., None] * w_acc + w_s)
+        return out.reshape(b, num_heads, head_dim).astype(query.dtype)
 
     idx = jnp.arange(s)[None, :]
     dec0 = (

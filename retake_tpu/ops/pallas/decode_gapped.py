@@ -1,0 +1,217 @@
+"""Pallas TPU kernel: batched gap-layout decode attention with per-slot
+dead-block skipping.
+
+The batched/continuous-serving decode step (ops/attention.
+decode_attention_batch_gapped) is pure HBM-bound cache reading: one query
+token per slot against a [B, KV, S_attn, D] gap-layout cache. The XLA
+einsum reads the ENTIRE bucket every step — at a 41k-column serving bucket
+that is ~2.4 GB/step even when a short request's live region is 8k columns
+and the gap region is nearly empty. This kernel skips dead cache blocks
+PER SLOT, exactly like the prefill kernel's fill-level skipping
+(flash_prefill.py): a slot's live columns are
+
+    [0, final_len[b])  u  [dec_start[b], write_end)
+
+(prefill prefix + its own decode region; the hole in between belongs to
+other slots' history and masked garbage — see runtime/serve.py). Dead
+blocks alias block 0 in the index_map (Pallas elides the repeated DMA) and
+``pl.when`` skips their compute, so each step's HBM traffic tracks the sum
+of live regions, not B x bucket.
+
+The current token's key/value contribution is merged OUTSIDE the kernel
+(ops/attention.decode_attention_batch_gapped): the kernel returns the
+unnormalized flash state (acc, m, l) per (slot, kv-head) and the caller
+finishes the online-softmax merge with the single new key — identical
+numerics to the append-free merge, one fewer special case in-kernel.
+
+int8-cache mode streams int8 + [1, 1, BK, 1] scale blocks and dequantizes
+in VMEM (same scheme as flash_prefill.py — Mosaic rejects rank-2 scale
+blocks).
+
+Grid (b, kv, kb): kb innermost/sequential carries the online-softmax
+scratch; b and kv are parallel. Q rows per step are G (grouped query heads,
+6-7) padded to the 8-row sublane tile; logits [8, BK] fp32 stay far under
+VMEM limits, so no SUB_K tiling is needed at decode shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BK = 1024
+ROWS = 8  # query rows per (b, kv) step: G padded to the sublane tile
+
+
+def _kernel(
+    scalar_ref,  # SMEM [2B+1]: final_len[B] | dec_start[B] | write_end
+    q_ref,  # [1, 1, ROWS, D]
+    k_ref,  # [1, 1, BK, D] (bf16 | int8)
+    v_ref,  # [1, 1, BK, D]
+    *refs,  # [ks_ref [1,1,BK,1], vs_ref,] acc_ref, m_ref, l_ref (outputs)
+    b_total: int,
+    bk: int,
+    num_kb: int,
+    scale: float,
+    quantized: bool,
+):
+    if quantized:
+        ks_ref, vs_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        acc_ref, m_ref, l_ref = refs
+        ks_ref = vs_ref = None
+    b = pl.program_id(0)
+    kb = pl.program_id(2)
+    final_len = scalar_ref[b]
+    dec_start = scalar_ref[b_total + b]
+    write_end = scalar_ref[2 * b_total]
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[0, 0] = jnp.full_like(m_ref[0, 0], NEG_INF)
+        l_ref[0, 0] = jnp.zeros_like(l_ref[0, 0])
+        acc_ref[0, 0] = jnp.zeros_like(acc_ref[0, 0])
+
+    start = kb * bk
+    live = (start < final_len) | (
+        (start + bk > dec_start) & (start < write_end)
+    )
+
+    @pl.when(live)
+    def _compute():
+        d = q_ref.shape[-1]
+        q = q_ref[0, 0]  # [ROWS, D]
+        k = k_ref[0, 0]  # [BK, D]
+        v = v_ref[0, 0]
+        if ks_ref is not None:
+            k = (k.astype(jnp.float32) * ks_ref[0, 0]).astype(q.dtype)
+            v = (v.astype(jnp.float32) * vs_ref[0, 0]).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [ROWS, BK]
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (ROWS, bk), 1)
+        valid = (col < final_len) | ((col >= dec_start) & (col < write_end))
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[0, 0][:, :1]  # [ROWS, 1]
+        l_prev = l_ref[0, 0][:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[0, 0] = acc_ref[0, 0] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[0, 0] = jnp.broadcast_to(m_new, m_ref.shape[2:])
+        l_ref[0, 0] = jnp.broadcast_to(l_new, l_ref.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("block_k",))
+def decode_gapped_flash_state(
+    query: jax.Array,  # [B, KV, G, D] current-token queries (RoPE'd)
+    key_cache: jax.Array,  # [B, KV, S, D] (bf16 | int8 + k_scale)
+    value_cache: jax.Array,
+    final_len: jax.Array,  # [B] int32
+    dec_start: jax.Array,  # [B] int32 per-slot decode-region start
+    write_end: jax.Array,  # scalar int32 — gap_start + gap_filled
+    k_scale=None,  # [B, KV, S] f32 (int8-cache mode)
+    v_scale=None,
+    block_k: int = DEFAULT_BK,
+):
+    """Unnormalized flash state over the cache's live regions.
+
+    Returns (acc [B, KV, G, D] f32, m [B, KV, G] f32, l [B, KV, G] f32);
+    the caller merges the current token's key/value append-free and
+    normalizes (ops/attention.decode_attention_batch_gapped)."""
+    b, num_kv, g, d = query.shape
+    s = key_cache.shape[2]
+    quantized = k_scale is not None
+    block_k = min(block_k, s)
+    while s % block_k:  # tiny-test shapes; production buckets are 8192-mult
+        block_k //= 2
+    num_kb = s // block_k
+
+    q = query
+    if g < ROWS:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, ROWS - g), (0, 0)))
+
+    scalars = jnp.concatenate([
+        final_len.astype(jnp.int32),
+        dec_start.astype(jnp.int32),
+        write_end.astype(jnp.int32)[None],
+    ])
+
+    def q_index(bi, kvi, kb, sc):
+        return (bi, kvi, 0, 0)
+
+    def kv_index(bi, kvi, kb, sc):
+        start = kb * block_k
+        final = sc[bi]
+        dstart = sc[q.shape[0] + bi]
+        wend = sc[2 * q.shape[0]]
+        live = (start < final) | ((start + block_k > dstart) & (start < wend))
+        return (bi, kvi, jnp.where(live, kb, 0), 0)
+
+    def out_index(bi, kvi, kb, sc):
+        return (bi, kvi, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, ROWS, d), q_index),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
+    ]
+    inputs = [q, key_cache, value_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_k, 1), kv_index),
+            pl.BlockSpec((1, 1, block_k, 1), kv_index),
+        ]
+        inputs += [k_scale[..., None], v_scale[..., None]]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_kv, num_kb),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, ROWS, d), out_index),
+            pl.BlockSpec((1, 1, ROWS, 128), out_index),
+            pl.BlockSpec((1, 1, ROWS, 128), out_index),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        b_total=b,
+        bk=block_k,
+        num_kb=num_kb,
+        scale=float(1.0 / (d**0.5)),
+        quantized=quantized,
+    )
+    kv_bytes = 1 if quantized else 2
+    acc, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, num_kv, ROWS, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_kv, ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_kv, ROWS, 128), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",  # CPU tests / dryruns
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_kv * ROWS * s * d,
+            bytes_accessed=b * num_kv * s * d * kv_bytes * 2,
+            transcendentals=b * num_kv * ROWS * s,
+        ),
+    )(scalars, *inputs)
+    return acc[:, :, :g], m[:, :, :g, 0], l[:, :, :g, 0]

@@ -363,7 +363,7 @@ def _video_segment_scan(
 @partial(
     jax.jit,
     donate_argnames=("k_all", "v_all", "ks_all", "vs_all"),
-    static_argnames=("cfg", "num_steps", "sampling"),
+    static_argnames=("cfg", "num_steps", "sampling", "attn_impl"),
 )
 def _decode_loop_batch(
     params, cfg: Qwen2VLConfig, k_all, v_all, base_t, pos_bases,
@@ -381,6 +381,8 @@ def _decode_loop_batch(
     #   start; None = first_tokens == eos
     step_off=None,  # [B] int32 — per-slot global-step offset so sampling
     #   keys derive from the REQUEST-OWN step (i - step_off); None = 0
+    attn_impl: str = "xla",  # batched-decode attention path: "pallas"/
+    #   "flash" = dead-block-skipping kernel; "xla" = full-bucket einsum
 ):
     """Batched decode: one scanned loop, the per-request step fully batched.
 
@@ -407,6 +409,7 @@ def _decode_loop_batch(
         hidden, kb, vb = text.decode_step_batch(
             params, cfg, k_all, v_all, emb, base_t, pos_bases + i,
             final_len, gap_start, i, ks_all, vs_all, dec_start,
+            attn_impl=attn_impl,
         )
         logits = text.final_logits_batch(params, cfg, hidden)  # [B, V]
         if sampling is None:
@@ -710,9 +713,11 @@ class Qwen2VLEngine:
                           max_new_tokens=max_new_tokens, _prefill_only=True)
             for req in requests
         ]
+        # NB: deliberately NOT forwarding self.attn_impl — bucket-grouped
+        # batched decode measured fastest (and stays token-exact vs the
+        # sequential path) on the einsum; see decode_batch's attn_impl note.
         return decode_batch(
             self.params, self.cfg, self.retake, states, max_new_tokens,
-            self.attn_impl,
         )
 
     def generate(
@@ -1159,7 +1164,13 @@ def decode_batch(
     rt: RetakeConfig,
     states: List[PrefillState],
     max_new_tokens: int,
-    attn_impl: str = "pallas",  # unused: batched decode has one (XLA) path
+    attn_impl: str = "xla",  # batched-decode attention path. "xla" is the
+    #   measured default HERE: decode_batch groups requests per attention
+    #   bucket (uniform live fraction ~1), where the dead-block-skipping
+    #   kernel has nothing to skip and runs 0.74-0.99x the einsum
+    #   (tools/decode_gapped_bench.py). The kernel pays off in CONTINUOUS
+    #   serving (runtime/serve.py: one shared bucket, mixed tenants,
+    #   1.2-1.5x bf16) — opt-in there via decode_attn_impl="pallas".
 ) -> List[GenerationResult]:
     """Batched decode over prefilled requests (see Engine.generate_batch).
 
@@ -1261,6 +1272,7 @@ def decode_batch(
             params, cfg, k_all, v_all, base_t, pos_bases, final_lens,
             jnp.int32(gap_start), first, max_new_tokens - 1,
             sampling, rng_loop, ks_all, vs_all,
+            attn_impl=attn_impl,
         )
         del k_all, v_all, ks_all, vs_all, caches_out  # returned for aliasing
         tokens = np.asarray(tokens)  # [steps, B]

@@ -322,9 +322,10 @@ class LlavaOnevisionEngine:
                           _prefill_only=True)
             for req in requests
         ]
+        # einsum decode path regardless of prefill impl — see
+        # engine.decode_batch's attn_impl note
         return decode_batch(
             self.params, self.cfg.text, self.retake, states, max_new_tokens,
-            self.attn_impl,
         )
 
 

@@ -120,7 +120,10 @@ class ContinuousServer:
     between admission points; ``prefill_bucket`` is the uniform decode-base
     column (defaults to the engine's attention bucket for
     ``max_prefill_tokens + max_new_tokens``) — a request whose own bucket
-    exceeds it is rejected at admission.
+    exceeds it is rejected at admission. ``max_new_tokens`` is the server
+    DEFAULT token budget; a request dict may carry its own
+    ``max_new_tokens`` (per-slot budgets — harvest finishes each slot at
+    its own limit).
     """
 
     def __init__(
@@ -132,6 +135,8 @@ class ContinuousServer:
         prefill_bucket: Optional[int] = None,
         gap_capacity: Optional[int] = None,
         interleave_prefill: bool = True,
+        interleave_segments_per_hook: int = 1,
+        decode_attn_impl: str = "xla",
     ):
         self.engine = engine
         self.cfg = getattr(engine.cfg, "text", engine.cfg)
@@ -141,18 +146,40 @@ class ContinuousServer:
         self.p_bucket = prefill_bucket  # resolved at first admission
         self.gap_cap = int(gap_capacity or max(4 * self.seg, 128))
         # interleaved chunked prefill: during an admission's prefill, dispatch
-        # one BLIND decode segment per prefill-chunk dispatch (engine
+        # BLIND decode segments between prefill-chunk dispatches (engine
         # on_dispatch hook). Blind = no host read: the carry token rides as a
         # device array (tokens[-1] of the previous segment) and EOS detection
         # waits until the staged segments are harvested after the prefill —
         # post-EOS slots decode garbage that harvest trims (same waste the
         # plain batched decode pays after a request finishes). In-flight
         # requests' TPOT during a long admission is then bounded by one
-        # prefill dispatch + one segment instead of the whole prefill.
+        # prefill dispatch + a segment instead of the whole prefill.
+        # ``interleave_segments_per_hook`` is the sharing policy on the
+        # SERIAL device: 1 = proportional sharing (decode progresses
+        # steadily but in-flight completions still land near the prefill's
+        # end); >1 front-loads decode so nearly-finished requests complete
+        # early in the admission window at the cost of admitted-request
+        # TTFT. The device executes the same total work either way — the
+        # knob trades latency BETWEEN tenants, it cannot create overlap
+        # (tools/overlap_ablation.py).
         self.interleave = bool(interleave_prefill)
+        self.per_hook = max(1, int(interleave_segments_per_hook))
+        # decode attention over the shared serving bucket. "xla" (default):
+        # full-bucket masked einsum — same fp reduction order as the
+        # sequential decode path, preserving this server's token-exactness
+        # claim vs per-request generate. "pallas": dead-block-skipping
+        # kernel (ops/pallas/decode_gapped.py) — HBM reads track each
+        # slot's LIVE regions instead of B x bucket; 1.2-1.5x faster
+        # attention for mixed-length bf16 tenants under a long shared
+        # bucket (tools/decode_gapped_bench.py) but a flash-order
+        # reduction, so tokens may diverge from generate within ulps.
+        # int8 caches always use the einsum (kernel measured 2-4x slower
+        # there; gated in ops/attention.decode_attention_batch_gapped).
+        self.decode_attn_impl = str(decode_attn_impl)
         self.staged = []  # un-harvested segment token arrays (device)
         self.emitted = np.zeros(self.b, np.int32)
         self._slot_req = None
+        self._drain = None
         # sampling: keys derive from (seed, request-own step) — the
         # sequential loop's exact schedule — so sampled serving is
         # token-exact vs per-request generate and independent of arrival
@@ -197,6 +224,11 @@ class ContinuousServer:
         self.staged: list = []  # un-harvested segment token arrays [seg, B]
         # sampling-key offset: request-own step = global i - step_off[slot]
         self.step_off = np.zeros(self.b, np.int32)
+        # per-slot token budget: a request dict may carry its own
+        # max_new_tokens (<= self.max_new is NOT required — its admission
+        # bucket check covers final_len + max_new <= p_bucket, the
+        # compaction-fold invariant)
+        self.slot_max = np.full(self.b, self.max_new, np.int32)
 
     def _admit(self, slot: int, st: PrefillState, req_id: int):
         cache = st.cache
@@ -247,6 +279,7 @@ class ContinuousServer:
                 i0=jnp.int32(self.f_global),
                 done0=jnp.asarray(self.done),
                 step_off=jnp.asarray(self.step_off),
+                attn_impl=self.decode_attn_impl,
             )
         )
         self.f_global += self.seg
@@ -272,12 +305,20 @@ class ContinuousServer:
         slot_req = getattr(self, "_slot_req", None)
         if not slot_req or not hasattr(self, "k_all"):
             return
-        if any(self.max_new - 1 - self.emitted[s] < self.seg
-               for s in slot_req):
-            return
-        if self.f_global + self.seg > self.gap_cap:
-            self._compact(self._counts())
-        self._segment()
+        for _ in range(self.per_hook):
+            if any(self.slot_max[s] - 1 - self.emitted[s] < self.seg
+                   for s in slot_req):
+                break
+            if self.f_global + self.seg > self.gap_cap:
+                self._compact(self._counts())
+            self._segment()
+        # lag-1 harvest: read everything but the segment just dispatched.
+        # The host blocks only until work already deep in the device queue
+        # completes (the next prefill chunk is already enqueued), so
+        # dispatch never starves — and finished slots free/stamp promptly
+        # instead of waiting for the whole prefill.
+        if self._drain is not None:
+            self._drain(keep_last=1)
 
     def _compact(self, counts: np.ndarray):
         self.k_all, self.v_all, self.ks_all, self.vs_all = _compact_gap(
@@ -335,9 +376,15 @@ class ContinuousServer:
                     time.sleep(arrivals[next_req] - now())
                 t_pf = now()
                 req = requests[next_req]
+                # per-request token budget: a request may carry its own
+                # max_new_tokens (server default otherwise). The engine
+                # sizes the request's attention bucket from it, and the
+                # _admit assertion (attn_need <= p_bucket) re-checks the
+                # compaction-fold invariant final_len + max_new <= P.
+                req_max = int(req.get("max_new_tokens") or self.max_new)
                 st = self.engine.generate(
                     **{k: v for k, v in req.items() if k != "max_new_tokens"},
-                    max_new_tokens=self.max_new, _prefill_only=True,
+                    max_new_tokens=req_max, _prefill_only=True,
                     on_dispatch=(self._on_prefill_dispatch
                                  if self.interleave else None),
                 )
@@ -350,6 +397,7 @@ class ContinuousServer:
                     self._init_buffers(st)
                 slot = free_slots()[0]
                 self._admit(slot, st, next_req)
+                self.slot_max[slot] = req_max
                 slot_req[slot] = next_req
                 slot_tokens[slot] = [st.first_token_host]
                 slot_meta[slot] = dict(
@@ -373,18 +421,17 @@ class ContinuousServer:
             self.final_len[slot] = 0
             self.dec_start[slot] = self.p_bucket + self.f_global
 
-        def drain_staged():
+        def drain_staged(keep_last: int = 0):
             """Harvest staged segment tokens in dispatch order: extend each
-            live slot's buffer, finish at EOS / token budget. Blind-mode
-            slots that finished mid-prefill get their finish_s stamped here
-            (late by the prefill remainder — the tokens themselves were
-            produced earlier on device)."""
-            while self.staged:
+            live slot's buffer, finish at EOS / token budget. During a
+            prefill the hook drains with ``keep_last=1`` (lag-1 pipeline),
+            so mid-admission completions stamp/free promptly."""
+            while len(self.staged) > keep_last:
                 toks = np.asarray(self.staged.pop(0))  # [seg, B]
                 for slot in list(slot_req):
                     col = toks[:, slot]
                     buf = slot_tokens[slot]
-                    room = self.max_new - len(buf)
+                    room = int(self.slot_max[slot]) - len(buf)
                     if room <= 0:
                         _finish(slot)
                         continue
@@ -395,10 +442,11 @@ class ContinuousServer:
                         _finish(slot)
                         continue
                     buf.extend(col.tolist())
-                    if len(buf) >= self.max_new:
+                    if len(buf) >= int(self.slot_max[slot]):
                         _finish(slot)
 
         self._slot_req = slot_req  # the prefill-dispatch hook reads these
+        self._drain = drain_staged
         try:
             while next_req < n or slot_req:
                 admit_ready()
@@ -410,5 +458,6 @@ class ContinuousServer:
                 drain_staged()
         finally:
             self._slot_req = None
+            self._drain = None
         assert all(r is not None for r in results)
         return results

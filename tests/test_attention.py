@@ -176,3 +176,48 @@ def test_vit_attention_qkv_kernel_matches_einsum(rng):
         np.asarray(out), np.asarray(ref).reshape(t, s, n * d),
         atol=3e-5, rtol=1e-4,
     )
+
+
+def test_decode_gapped_pallas_matches_einsum(rng):
+    """Dead-block-skipping batched decode kernel (ops/pallas/decode_gapped)
+    vs the masked-einsum reference, bf16 and int8-cache modes, with
+    per-slot dec_start holes and a free slot (final_len 0)."""
+    import jax.numpy as jnp
+
+    from retake_tpu.ops import attention as attn
+    from retake_tpu.ops.quantization import quantize_kv_block
+
+    b, kv, g, d, s = 3, 2, 3, 8, 64
+    q = jnp.asarray(rng.normal(size=(b, kv * g, d)) * 0.3, jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(b, kv, s, d)) * 0.3, jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(b, kv, s, d)) * 0.3, jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(b, kv, d)) * 0.3, jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(b, kv, d)) * 0.3, jnp.float32)
+    final_len = jnp.asarray([10, 32, 0], jnp.int32)
+    dec_start = jnp.asarray([40, 44, 40], jnp.int32)
+    gap_start, gap_filled = jnp.int32(40), jnp.int32(12)
+
+    args = (final_len, gap_start, gap_filled, kn, vn)
+    ref = attn.decode_attention_batch_gapped(
+        q, kc, vc, *args, dec_start=dec_start, impl="xla"
+    )
+    out = attn.decode_attention_batch_gapped(
+        q, kc, vc, *args, dec_start=dec_start, impl="pallas"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # int8 cache: same commuting-scale semantics through the kernel's
+    # in-VMEM dequant
+    kq, ks = quantize_kv_block(kc)
+    vq, vs = quantize_kv_block(vc)
+    ref_q = attn.decode_attention_batch_gapped(
+        q, kq, vq, *args, k_scale=ks, v_scale=vs, dec_start=dec_start,
+        impl="xla",
+    )
+    out_q = attn.decode_attention_batch_gapped(
+        q, kq, vq, *args, k_scale=ks, v_scale=vs, dec_start=dec_start,
+        impl="pallas",
+    )
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
+                               atol=2e-5, rtol=2e-5)

@@ -295,3 +295,46 @@ def test_interleaved_prefill_runs_blind_segments(tiny, rng):
     assert blind > 0, "no blind segments ran during the long prefill"
     for res, s in zip(results, seq):
         np.testing.assert_array_equal(res.tokens, s.tokens)
+
+
+def test_continuous_serve_pallas_decode_attn(tiny, rng):
+    """Opt-in dead-block-skipping decode kernel (decode_attn_impl=
+    "pallas", ops/pallas/decode_gapped.py) end-to-end through the server:
+    admission, compaction, and harvest all run with the kernel in the
+    decode step. Token parity vs sequential generate is asserted here on
+    the f32 tiny model (flash-order reduction delta is ~ulp; op-level numerics
+    are pinned in tests/test_attention.py) — the PRODUCTION exactness
+    claim holds only for the einsum default, see ContinuousServer."""
+    engine, reqs = _build(tiny, rng, n_reqs=3)
+    max_new = 8
+    seq = [engine.generate(**r, max_new_tokens=max_new) for r in reqs]
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=max_new,
+        gap_capacity=6, decode_attn_impl="pallas",
+    )
+    results = server.run(reqs)
+    for res, s in zip(results, seq):
+        np.testing.assert_array_equal(res.tokens, s.tokens)
+
+
+def test_continuous_serve_per_request_max_new(tiny, rng):
+    """A request dict may carry its own max_new_tokens: each slot finishes
+    at ITS budget (harvest-side trim), shorter-budget tenants free slots
+    early, and every request's tokens match its solo generate at the same
+    budget."""
+    engine, reqs = _build(tiny, rng, n_reqs=4)
+    budgets = [3, 9, 5, 9]
+    for r, mn in zip(reqs, budgets):
+        r["max_new_tokens"] = mn
+    seq = [engine.generate(**{k: v for k, v in r.items()
+                              if k != "max_new_tokens"},
+                           max_new_tokens=mn)
+           for r, mn in zip(reqs, budgets)]
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=9,
+        gap_capacity=6,
+    )
+    results = server.run(reqs)
+    for res, s, mn in zip(results, seq, budgets):
+        assert len(res.tokens) <= mn
+        np.testing.assert_array_equal(res.tokens, s.tokens)

@@ -79,7 +79,6 @@ def run_static(eng, reqs, arrivals, bs, max_new):
         idxs, states = zip(*pending)
         res = decode_batch(
             eng.params, eng.cfg, eng.retake, list(states), max_new,
-            eng.attn_impl,
         )
         t = now()
         for i, r in zip(idxs, res):
@@ -113,10 +112,14 @@ def run_continuous(eng, reqs, arrivals, bs, max_new):
 
 
 def run_long_admission(eng, max_new=192):
-    """Interleaved-chunked-prefill A/B: a short request is decoding when a
-    LONG (512-frame) request gets admitted. With interleave off, the short
-    request's decode stalls for the whole long prefill; with it on, decode
-    segments ride between the prefill's chunk dispatches."""
+    """Interleaved-chunked-prefill A/B: a short request is mid-decode when
+    a 2048-frame request (~14 s prefill) gets admitted. With interleave
+    off, the short request's remaining decode stalls for the whole long
+    prefill; with front-loaded interleaving (4 segments per prefill-chunk
+    dispatch) its remaining segments execute early in the admission
+    window. NOTE the device is serial (tools/overlap_ablation.py): the
+    knob redistributes latency between tenants — the long request's TTFT
+    grows by roughly what the short request's latency saves."""
     import bench as b
 
     short = dict(zip(
@@ -125,18 +128,23 @@ def run_long_admission(eng, max_new=192):
     ))
     long_req = dict(zip(
         ("input_ids", "pixel_values_videos", "video_grid_thw"),
-        b.build_request(eng.cfg, num_frames=512),
+        b.build_request(eng.cfg, num_frames=2048),
     ))
     out = {}
-    for label, inter in (("interleave_off", False), ("interleave_on", True)):
+    # prefill_bucket must cover the LONG request's decode bucket (the
+    # default resolves from the first admission — the short request)
+    kw = dict(batch_slots=2, segment_steps=16, max_new_tokens=max_new,
+              prefill_bucket=32768 + 8192)
+    for label, inter, ph in (("interleave_off", False, 1),
+                             ("interleave_on_x4", True, 4)):
         server = ContinuousServer(
-            eng, batch_slots=2, segment_steps=16, max_new_tokens=max_new,
-            interleave_prefill=inter,
+            eng, interleave_prefill=inter,
+            interleave_segments_per_hook=ph, **kw,
         )
         server.run([dict(short), dict(long_req)])  # compile both paths
         server = ContinuousServer(
-            eng, batch_slots=2, segment_steps=16, max_new_tokens=max_new,
-            interleave_prefill=inter,
+            eng, interleave_prefill=inter,
+            interleave_segments_per_hook=ph, **kw,
         )
         res = server.run([dict(short), dict(long_req)],
                          arrival_times=[0.0, 0.3])
@@ -147,7 +155,7 @@ def run_long_admission(eng, max_new=192):
         }
         print(json.dumps({label: out[label]}), flush=True)
     stall_off = out["interleave_off"]["short_latency_s"]
-    stall_on = out["interleave_on"]["short_latency_s"]
+    stall_on = out["interleave_on_x4"]["short_latency_s"]
     print(json.dumps({
         "short_request_speedup_under_long_admission":
             round(stall_off / stall_on, 2),
