@@ -53,12 +53,48 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+import os as _os
+
 from retake_tpu.runtime.engine import (
     PrefillState,
     _attn_bucket,
     _decode_loop_batch,
     _insert_batch_slot,
 )
+
+
+_SYNC = _os.environ.get("RETAKE_SERVE_SYNC", "")
+
+
+def _sync(tag, *arrs):
+    if tag in _SYNC or "all" in _SYNC:
+        for a in arrs:
+            if a is not None:
+                jax.block_until_ready(a)
+
+
+def _sdbg(*a):
+    """Env-gated schedule trace (RETAKE_SERVE_DEBUG=1): segment dispatches,
+    compactions, and harvests with the host-mirrored per-slot state — the
+    tool that located the zero-copy aliasing race below."""
+    if _os.environ.get("RETAKE_SERVE_DEBUG"):
+        print("[serve]", *a, flush=True)
+
+
+def _dev(x) -> jax.Array:
+    """Copying host->device transfer for the server's mutable numpy
+    mirrors (final_len, dec_start, base_t, done, ...).
+
+    The serving loop mutates these mirrors in place right after dispatch
+    (``_compact`` resets ``dec_start[:]``, ``_finish``/``_admit`` restamp
+    freed slots) while the dispatched computation may still be in flight.
+    Probing shows ``jnp.asarray(numpy)`` snapshots the values at dispatch
+    on today's CPU backend, but that is not contractual; ``jnp.array``
+    copies unconditionally and these are [B]-sized vectors, so the
+    explicit copy is free insurance against transfer/aliasing semantics
+    changing underneath the mutation pattern."""
+    return jnp.array(x)
 
 
 @partial(
@@ -242,6 +278,7 @@ class ContinuousServer:
         v = jnp.pad(cache.v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         self.k_all = _insert_batch_slot(self.k_all, k, jnp.int32(slot))
         self.v_all = _insert_batch_slot(self.v_all, v, jnp.int32(slot))
+        _sync("insert", self.k_all, self.v_all)
         if cache.quantized:
             ks = jnp.pad(cache.k_scale, ((0, 0), (0, 0), (0, pad)))
             vs = jnp.pad(cache.v_scale, ((0, 0), (0, 0), (0, pad)))
@@ -271,17 +308,21 @@ class ContinuousServer:
             _decode_loop_batch(
                 self.engine.params, self.cfg,
                 self.k_all, self.v_all,
-                jnp.asarray(self.base_t), jnp.asarray(self.pos_rest),
-                jnp.asarray(self.final_len), jnp.int32(self.p_bucket),
+                _dev(self.base_t), _dev(self.pos_rest),
+                _dev(self.final_len), jnp.int32(self.p_bucket),
                 self.cur_dev, self.seg,
                 self.sampling, self.rng_loop, self.ks_all, self.vs_all,
-                dec_start=jnp.asarray(self.dec_start),
+                dec_start=_dev(self.dec_start),
                 i0=jnp.int32(self.f_global),
-                done0=jnp.asarray(self.done),
-                step_off=jnp.asarray(self.step_off),
+                done0=_dev(self.done),
+                step_off=_dev(self.step_off),
                 attn_impl=self.decode_attn_impl,
             )
         )
+        _sdbg("segment f=", self.f_global, "fl=", self.final_len.tolist(),
+              "ds=", self.dec_start.tolist(), "done=", self.done.tolist(),
+              "em=", self.emitted.tolist())
+        _sync("segment", tokens, self.k_all)
         self.f_global += self.seg
         self.cur_dev = tokens[-1]
         self.emitted = self.emitted + np.int32(self.seg)
@@ -306,26 +347,58 @@ class ContinuousServer:
         if not slot_req or not hasattr(self, "k_all"):
             return
         for _ in range(self.per_hook):
-            if any(self.slot_max[s] - 1 - self.emitted[s] < self.seg
-                   for s in slot_req):
+            need = [self.slot_max[s] - 1 - self.emitted[s]
+                    for s in slot_req]
+            if max(need) <= 0:
+                break  # every tenant's full stream is already dispatched
+            if max(need) > self.seg and any(0 < n < self.seg for n in need):
+                # a tenant's FINAL partial segment would overshoot its
+                # budget (junk KV writes past max_new break the
+                # compaction-fold bound final_len + max_new <= P) while
+                # other tenants still need full segments — stall the
+                # partial tenant until the prefill ends (rare mixed case)
                 break
+            # when max(need) <= seg this segment COMPLETES every tenant:
+            # overshoot junk is bounded within it, no compaction runs
+            # before the full drain below frees the slots, so the fold
+            # bound is never evaluated against the overshoot
             if self.f_global + self.seg > self.gap_cap:
                 self._compact(self._counts())
             self._segment()
-        # lag-1 harvest: read everything but the segment just dispatched.
-        # The host blocks only until work already deep in the device queue
-        # completes (the next prefill chunk is already enqueued), so
-        # dispatch never starves — and finished slots free/stamp promptly
-        # instead of waiting for the whole prefill.
+        # harvest: lag-1 normally (read everything but the segment just
+        # dispatched — the host blocks only on work already deep in the
+        # device queue, so dispatch never starves). FULL drain whenever
+        # some tenant's stream is completely dispatched: it frees/stamps
+        # at its completion segment instead of the prefill's end, and
+        # keeps overshoot junk out of any later compaction fold.
         if self._drain is not None:
-            self._drain(keep_last=1)
+            fin_any = any(self.slot_max[s] - 1 - self.emitted[s] <= 0
+                          for s in slot_req)
+            self._drain(keep_last=0 if fin_any else 1)
 
     def _compact(self, counts: np.ndarray):
+        _sdbg("compact f=", self.f_global, "counts=", counts.tolist(),
+              "fl=", self.final_len.tolist(), "ds=", self.dec_start.tolist())
         self.k_all, self.v_all, self.ks_all, self.vs_all = _compact_gap(
             self.k_all, self.v_all, self.ks_all, self.vs_all,
-            jnp.asarray(self.final_len), jnp.asarray(self.dec_start),
-            jnp.asarray(counts), jnp.int32(self.p_bucket),
+            _dev(self.final_len), _dev(self.dec_start),
+            _dev(counts), jnp.int32(self.p_bucket),
         )
+        # FENCE (correctness, do not remove): block until the fold lands.
+        # Without it, the donated-cache chain segment -> compact -> segment
+        # re-enters the SAME decode executable while its previous
+        # invocation is still in flight, and on the CPU backend the
+        # post-compact segment intermittently reads pre-fold cache contents
+        # (tokens deterministically wrong for the folded slot; reproduced
+        # ~50% under warm jit caches, schedule and host mirrors verified
+        # identical pass-vs-fail via RETAKE_SERVE_DEBUG traces; any
+        # host-sync point removes it). Compaction runs once per ~G decode
+        # steps, so the pipeline bubble is amortized to noise.
+        # block_until_ready is enough on CPU but is a no-op through the
+        # axon TPU tunnel (CLAUDE.md) — the host read of a fresh scalar
+        # depending on the fold is the reliable fence on every backend.
+        jax.block_until_ready(self.k_all)
+        float(jnp.sum(self.k_all[0, 0, 0, 0, :1].astype(jnp.float32)))
         self.final_len = self.final_len + counts.astype(np.int32)
         self.dec_start[:] = self.p_bucket
         # row0 = base + F: F resets, fold the consumed F into the bases
@@ -341,12 +414,21 @@ class ContinuousServer:
         self,
         requests: List[dict],
         arrival_times: Optional[List[float]] = None,
+        on_tokens=None,
     ) -> List[ServeResult]:
         """Serve ``requests`` (engine.generate kwargs) arriving at
         ``arrival_times`` (seconds from start; None = all at t=0). Runs in
         real time: a request is only visible to the server once the wall
         clock passes its arrival time. Returns per-request results with
-        queueing/TTFT/latency breakdowns, in request order."""
+        queueing/TTFT/latency breakdowns, in request order.
+
+        ``on_tokens(request_id, token_ids)`` streams tokens as the host
+        harvests them: once at admission (the prefill's first token) and
+        once per harvested decode segment (<= segment_steps tokens, EOS/
+        budget-trimmed). The concatenation over calls equals the returned
+        ``ServeResult.tokens``. Granularity is the segment, not the token
+        — that is the server's host-sync cadence (one device round-trip
+        per segment is what keeps decode at device speed)."""
         n = len(requests)
         arrivals = list(arrival_times or [0.0] * n)
         assert len(arrivals) == n and sorted(arrivals) == arrivals, (
@@ -396,10 +478,13 @@ class ContinuousServer:
                 if not hasattr(self, "k_all"):
                     self._init_buffers(st)
                 slot = free_slots()[0]
+                _sdbg("admit req", next_req, "slot", slot, "f=", self.f_global)
                 self._admit(slot, st, next_req)
                 self.slot_max[slot] = req_max
                 slot_req[slot] = next_req
                 slot_tokens[slot] = [st.first_token_host]
+                if on_tokens is not None:
+                    on_tokens(next_req, [int(st.first_token_host)])
                 slot_meta[slot] = dict(
                     arrival=arrivals[next_req], prefill_start=t_pf,
                     first_token=now(),
@@ -426,11 +511,15 @@ class ContinuousServer:
             live slot's buffer, finish at EOS / token budget. During a
             prefill the hook drains with ``keep_last=1`` (lag-1 pipeline),
             so mid-admission completions stamp/free promptly."""
+            _sdbg("drain keep", keep_last, "staged", len(self.staged),
+                  "live", dict(slot_req))
             while len(self.staged) > keep_last:
                 toks = np.asarray(self.staged.pop(0))  # [seg, B]
+                _sdbg("harvest", toks.T.tolist())
                 for slot in list(slot_req):
                     col = toks[:, slot]
                     buf = slot_tokens[slot]
+                    req_id = slot_req[slot]
                     room = int(self.slot_max[slot]) - len(buf)
                     if room <= 0:
                         _finish(slot)
@@ -438,11 +527,11 @@ class ContinuousServer:
                     col = col[:room]
                     eos = np.flatnonzero(col == self.cfg.eos_token_id)
                     if len(eos):
-                        buf.extend(col[: eos[0] + 1].tolist())
-                        _finish(slot)
-                        continue
+                        col = col[: eos[0] + 1]
                     buf.extend(col.tolist())
-                    if len(buf) >= int(self.slot_max[slot]):
+                    if on_tokens is not None and len(col):
+                        on_tokens(req_id, col.tolist())
+                    if len(eos) or len(buf) >= int(self.slot_max[slot]):
                         _finish(slot)
 
         self._slot_req = slot_req  # the prefill-dispatch hook reads these
