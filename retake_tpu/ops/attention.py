@@ -222,12 +222,13 @@ def decode_attention_batch_gapped(
     #   [gap_start + t0, write ptr)); None = gap_start for every slot
     impl: str = "xla",  # "pallas"/"flash": dead-block-skipping kernel
     #   (ops/pallas/decode_gapped.py) — HBM reads track the LIVE regions
-    #   instead of B x bucket; "xla": full-bucket masked einsum. The kernel
-    #   engages only for bf16 caches: int8 mode measured 2-4x SLOWER than
-    #   the XLA einsum at every shape (tools/decode_gapped_bench.py —
-    #   [1,1,BK,1] scale DMA + whole-block VPU dequant vs XLA's
-    #   half-the-bytes read with fused dequant), so quantized caches route
-    #   to the einsum regardless of impl.
+    #   instead of B x bucket; "xla": full-bucket masked einsum. Kernel
+    #   wins (tools/decode_gapped_bench.py, n=100 amortized): mixed-length
+    #   serving buckets 1.3-2.7x at B=8 (bf16 and int8 — int8 uses the
+    #   same commuting-scale math as the einsum: scales land on the
+    #   [ROWS, BK] score/prob rows, lane-major scale DMA); ~1.0x on
+    #   uniform bucket-grouped batches. An earlier whole-block-dequant
+    #   int8 variant was 2-4x slower — see the kernel docstring.
 ) -> jax.Array:
     """Batched single-token attention over gap-layout caches.
 
@@ -252,7 +253,7 @@ def decode_attention_batch_gapped(
     q = query.reshape(b, num_kv, group, head_dim)
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
 
-    if impl in ("pallas", "flash") and k_scale is None:
+    if impl in ("pallas", "flash"):
         from retake_tpu.ops.pallas.decode_gapped import (
             decode_gapped_flash_state,
         )

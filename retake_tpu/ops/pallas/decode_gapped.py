@@ -24,9 +24,14 @@ unnormalized flash state (acc, m, l) per (slot, kv-head) and the caller
 finishes the online-softmax merge with the single new key — identical
 numerics to the append-free merge, one fewer special case in-kernel.
 
-int8-cache mode streams int8 + [1, 1, BK, 1] scale blocks and dequantizes
-in VMEM (same scheme as flash_prefill.py — Mosaic rejects rank-2 scale
-blocks).
+int8-cache mode streams int8 + LANE-MAJOR scale blocks and COMMUTES the
+scales out of the dequant: scores = (q @ k_int8_as_bf16) * ks_row and
+acc += (p * vs_row) @ v_int8_as_bf16, so the per-block elementwise scale
+work is [ROWS, BK] (8 x BK) instead of dequantizing [BK, D] (BK x 128) —
+16x less VPU work — and the scale DMA is one contiguous [1, BK] row (the
+scales are reshaped to [B, KV, num_kb, BK] outside the kernel; a
+[1,1,BK,1] column block is a strided 1-lane DMA, the first version's
+main cost).
 
 Grid (b, kv, kb): kb innermost/sequential carries the online-softmax
 scratch; b and kv are parallel. Q rows per step are G (grouped query heads,
@@ -89,12 +94,18 @@ def _kernel(
         k = k_ref[0, 0]  # [BK, D]
         v = v_ref[0, 0]
         if ks_ref is not None:
-            k = (k.astype(jnp.float32) * ks_ref[0, 0]).astype(q.dtype)
-            v = (v.astype(jnp.float32) * vs_ref[0, 0]).astype(q.dtype)
+            # commuting scales: cast int8 -> compute dtype WITHOUT the
+            # scale; the per-key scale lands on the [ROWS, BK] score /
+            # probability rows below (16x less elementwise work than
+            # dequantizing the [BK, D] blocks)
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [ROWS, BK]
+        if ks_ref is not None:
+            s = s * ks_ref[0, 0]  # [1, BK] lane-major row broadcast
         col = start + jax.lax.broadcasted_iota(jnp.int32, (ROWS, bk), 1)
         valid = (col < final_len) | ((col >= dec_start) & (col < write_end))
         s = jnp.where(valid, s, NEG_INF)
@@ -106,6 +117,8 @@ def _kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if vs_ref is not None:
+            p = p * vs_ref[0, 0]  # fold the value scale into the probs
         acc_ref[0, 0] = acc_ref[0, 0] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -170,11 +183,17 @@ def decode_gapped_flash_state(
     ]
     inputs = [q, key_cache, value_cache]
     if quantized:
+        # lane-major scale rows: [B, KV, S] -> [B, KV, num_kb, BK] (free
+        # reshape, S = num_kb * BK) so each block DMA is one contiguous
+        # [1, BK] row instead of a strided [BK, 1] column
         in_specs += [
-            pl.BlockSpec((1, 1, block_k, 1), kv_index),
-            pl.BlockSpec((1, 1, block_k, 1), kv_index),
+            pl.BlockSpec((1, 1, 1, block_k), kv_index),
+            pl.BlockSpec((1, 1, 1, block_k), kv_index),
         ]
-        inputs += [k_scale[..., None], v_scale[..., None]]
+        inputs += [
+            k_scale.reshape(b, num_kv, num_kb, block_k),
+            v_scale.reshape(b, num_kv, num_kb, block_k),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

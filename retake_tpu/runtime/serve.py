@@ -205,12 +205,11 @@ class ContinuousServer:
         # sequential decode path, preserving this server's token-exactness
         # claim vs per-request generate. "pallas": dead-block-skipping
         # kernel (ops/pallas/decode_gapped.py) — HBM reads track each
-        # slot's LIVE regions instead of B x bucket; 1.2-1.5x faster
-        # attention for mixed-length bf16 tenants under a long shared
-        # bucket (tools/decode_gapped_bench.py) but a flash-order
-        # reduction, so tokens may diverge from generate within ulps.
-        # int8 caches always use the einsum (kernel measured 2-4x slower
-        # there; gated in ops/attention.decode_attention_batch_gapped).
+        # slot's LIVE regions instead of B x bucket; 1.3-2.7x faster
+        # attention for mixed-length tenants at B=8 under a long shared
+        # bucket, bf16 AND int8 (tools/decode_gapped_bench.py), but a
+        # flash-order reduction, so tokens may diverge from generate
+        # within ulps.
         self.decode_attn_impl = str(decode_attn_impl)
         self.staged = []  # un-harvested segment token arrays (device)
         self.emitted = np.zeros(self.b, np.int32)
