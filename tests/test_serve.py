@@ -401,3 +401,68 @@ def test_interleaved_prefill_completes_tenant_mid_admission(tiny, rng):
     # the short tenant finished strictly inside the long admission window
     assert results[0].finish_s < results[1].first_token_s, (
         results[0].finish_s, results[1].first_token_s)
+
+
+def test_compaction_preserves_attention(rng):
+    """Semantic compaction invariant (beyond the elementwise fold test):
+    a decode step's attention output over the PRE-compaction cache
+    (entries at [0, final_len) u [dec_start, write_end)) equals the
+    output over the POST-compaction cache (entries relocated to
+    [0, final_len + c), dec_start reset) to fp tolerance — relocation
+    only permutes the reduction order. Checked for both impls and an
+    int8 cache."""
+    import jax.numpy as jnp
+
+    from retake_tpu.ops import attention as attn
+    from retake_tpu.ops.quantization import quantize_kv_block
+    from retake_tpu.runtime.serve import _compact_gap
+
+    b, kv, g, d, s = 2, 2, 2, 8, 64
+    gap_start = 40
+    q = jnp.asarray(rng.normal(size=(b, kv * g, d)) * 0.3, jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(b, kv, s, d)) * 0.3, jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(b, kv, s, d)) * 0.3, jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(b, kv, d)) * 0.3, jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(b, kv, d)) * 0.3, jnp.float32)
+    final_len = np.array([10, 25], np.int32)
+    dec_start = np.array([43, 41], np.int32)
+    gap_filled = 8  # write_end = 48
+
+    counts = np.array([gap_start + gap_filled - ds for ds in dec_start],
+                      np.int32)
+
+    for quant in (False, True):
+        if quant:
+            kq, ks = quantize_kv_block(kc)
+            vq, vs = quantize_kv_block(vc)
+            kw = dict(k_scale=ks, v_scale=vs)
+            k_in, v_in = kq, vq
+        else:
+            kw = {}
+            k_in, v_in = kc, vc
+        pre = attn.decode_attention_batch_gapped(
+            q, k_in, v_in, jnp.asarray(final_len), jnp.int32(gap_start),
+            jnp.int32(gap_filled), kn, vn,
+            dec_start=jnp.asarray(dec_start), **kw,
+        )
+        # fold each slot's decode region onto its prefill tail (the
+        # server's _compact operates on [L, B, KV, S, D] caches — add a
+        # unit layer axis), then re-evaluate with the post-compaction
+        # geometry: grown final_len, dec_start = gap_start, zero filled
+        ks_in = kw.get("k_scale")
+        vs_in = kw.get("v_scale")
+        kf, vf, ksf, vsf = _compact_gap(
+            k_in[None], v_in[None],
+            None if ks_in is None else ks_in[None],
+            None if vs_in is None else vs_in[None],
+            jnp.asarray(final_len), jnp.asarray(dec_start),
+            jnp.asarray(counts), jnp.int32(gap_start),
+        )
+        kw2 = dict(k_scale=ksf[0], v_scale=vsf[0]) if quant else {}
+        post = attn.decode_attention_batch_gapped(
+            q, kf[0], vf[0], jnp.asarray(final_len + counts),
+            jnp.int32(gap_start), jnp.int32(0), kn, vn,
+            dec_start=jnp.asarray([gap_start] * b), **kw2,
+        )
+        np.testing.assert_allclose(np.asarray(post), np.asarray(pre),
+                                   atol=3e-6, rtol=3e-6)
