@@ -241,6 +241,7 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
             results = decode_batch(
                 engine.params, getattr(engine.cfg, "text", engine.cfg),
                 rt, list(states), rt.max_new_tokens,
+                early_stop=bool(getattr(rt, "decode_early_stop", False)),
             )
             for sample, res in zip(samples, results):
                 journal_one(sample, res)

@@ -260,7 +260,8 @@ def _select_token(logits, key, sampling: Optional[Tuple]) -> jax.Array:
     jax.jit,
     donate_argnames=("cache",),
     static_argnames=(
-        "cfg", "num_steps", "reforge", "attn_impl", "attn_budget", "sampling"
+        "cfg", "num_steps", "reforge", "attn_impl", "attn_budget",
+        "sampling", "early_stop",
     ),
 )
 def _decode_loop(
@@ -269,6 +270,8 @@ def _decode_loop(
     attn_budget: int | None = None,
     sampling: Optional[Tuple] = None,
     rng_key=None,
+    early_stop: bool = False,  # while_loop: stop at EOS (token-identical;
+    #   config decode_early_stop — see _decode_loop_batch)
 ):
     """Decode entirely on device: one dispatch for all steps.
 
@@ -304,6 +307,26 @@ def _decode_loop(
 
     first_token = first_token.astype(jnp.int32)
     done0 = first_token == cfg.eos_token_id
+    if early_stop:
+        # stop at EOS: post-EOS rows of the buffer keep their EOS prefill,
+        # so outputs match the full scan exactly (its post-EOS steps emit
+        # masked EOS too) — the loop just skips computing the dead tail
+        tok_buf = jnp.full((num_steps,), jnp.int32(cfg.eos_token_id))
+
+        def cond(carry):
+            j, token, cache_, done, buf = carry
+            return (j < num_steps) & ~done
+
+        def wbody(carry):
+            j, token, cache_, done, buf = carry
+            (token, cache_, done), nxt = body((token, cache_, done), j)
+            buf = jax.lax.dynamic_update_index_in_dim(buf, nxt, j, axis=0)
+            return (j + 1, token, cache_, done, buf)
+
+        (_, _, cache, _, tokens) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), first_token, cache, done0, tok_buf)
+        )
+        return tokens, cache
     (_, cache, _), tokens = jax.lax.scan(
         body, (first_token, cache, done0), jnp.arange(num_steps)
     )
@@ -363,7 +386,8 @@ def _video_segment_scan(
 @partial(
     jax.jit,
     donate_argnames=("k_all", "v_all", "ks_all", "vs_all"),
-    static_argnames=("cfg", "num_steps", "sampling", "attn_impl"),
+    static_argnames=("cfg", "num_steps", "sampling", "attn_impl",
+                     "early_stop"),
 )
 def _decode_loop_batch(
     params, cfg: Qwen2VLConfig, k_all, v_all, base_t, pos_bases,
@@ -383,6 +407,8 @@ def _decode_loop_batch(
     #   keys derive from the REQUEST-OWN step (i - step_off); None = 0
     attn_impl: str = "xla",  # batched-decode attention path: "pallas"/
     #   "flash" = dead-block-skipping kernel; "xla" = full-bucket einsum
+    early_stop: bool = False,  # while_loop variant: stop once every slot
+    #   has emitted EOS (token-identical; see the branch below)
 ):
     """Batched decode: one scanned loop, the per-request step fully batched.
 
@@ -453,6 +479,39 @@ def _decode_loop_batch(
     first_tokens = first_tokens.astype(jnp.int32)
     if done0 is None:
         done0 = first_tokens == cfg.eos_token_id
+    if early_stop:
+        # while_loop variant: stop as soon as EVERY slot has emitted EOS.
+        # Post-EOS rows of the token buffer keep their EOS prefill, so
+        # outputs are IDENTICAL to the full scan (post-EOS steps emit
+        # masked EOS there too) — the loop just skips computing them.
+        # With real checkpoints eval answers are a handful of tokens vs
+        # max_new=128, so the static scan pays ~max_new/answer_len extra
+        # decode steps per batch; this recovers them. Serving segments
+        # keep the scan (seg is small and the blind pipeline relies on a
+        # fixed dispatch shape).
+        tok_buf = jnp.full((num_steps, first_tokens.shape[0]),
+                           jnp.int32(cfg.eos_token_id))
+        i0_ = jnp.int32(0) if i0 is None else jnp.int32(i0)
+
+        def cond(carry):
+            j, cur, k_a, v_a, ks_a, vs_a, done, buf = carry
+            return (j < num_steps) & ~jnp.all(done)
+
+        def wbody(carry):
+            j, cur, k_a, v_a, ks_a, vs_a, done, buf = carry
+            (cur, k_a, v_a, ks_a, vs_a, done), nxt = body(
+                (cur, k_a, v_a, ks_a, vs_a, done), i0_ + j
+            )
+            buf = jax.lax.dynamic_update_index_in_dim(buf, nxt, j, axis=0)
+            return (j + 1, cur, k_a, v_a, ks_a, vs_a, done, buf)
+
+        (_, _, k_all, v_all, ks_all, vs_all, _, tokens) = jax.lax.while_loop(
+            cond,
+            wbody,
+            (jnp.int32(0), first_tokens, k_all, v_all, ks_all, vs_all,
+             done0, tok_buf),
+        )
+        return tokens, (k_all, v_all, ks_all, vs_all)
     steps = jnp.arange(num_steps)
     if i0 is not None:
         steps = steps + i0
@@ -1084,6 +1143,7 @@ def prefill_and_decode(
 
     # sampling config (reference forwards do_sample to HF generate,
     # infer_eval.py:53,110); greedy when do_sample is false
+    early_stop_decode = bool(getattr(rt, "decode_early_stop", False))
     sampling = None
     rng_first = rng_loop = None
     if rt.do_sample:
@@ -1132,6 +1192,7 @@ def prefill_and_decode(
                 reforge, attn_impl,
                 min(attn_bucket(final_len + max_new_tokens), budget),
                 sampling, rng_loop,
+                early_stop=early_stop_decode,
             )
             tokens = np.asarray(tokens)
         eos = np.flatnonzero(tokens == cfg.eos_token_id)
@@ -1171,6 +1232,11 @@ def decode_batch(
     #   (tools/decode_gapped_bench.py). The kernel pays off in CONTINUOUS
     #   serving (runtime/serve.py: one shared bucket, mixed tenants,
     #   1.2-1.5x bf16) — opt-in there via decode_attn_impl="pallas".
+    early_stop: bool = False,  # while_loop decode: stop once every
+    #   request in the batch has emitted EOS — token-identical, and with
+    #   real checkpoints (answers of a few tokens vs max_new=128) it
+    #   skips the dead tail of the static scan. Opt-in until the
+    #   while_loop step cost is measured on-chip vs the scan.
 ) -> List[GenerationResult]:
     """Batched decode over prefilled requests (see Engine.generate_batch).
 
@@ -1272,7 +1338,7 @@ def decode_batch(
             params, cfg, k_all, v_all, base_t, pos_bases, final_lens,
             jnp.int32(gap_start), first, max_new_tokens - 1,
             sampling, rng_loop, ks_all, vs_all,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, early_stop=early_stop,
         )
         del k_all, v_all, ks_all, vs_all, caches_out  # returned for aliasing
         tokens = np.asarray(tokens)  # [steps, B]

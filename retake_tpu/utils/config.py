@@ -81,6 +81,14 @@ class RetakeConfig:
     # (MXU-bound); decode is HBM-bound so batching multiplies tokens/s.
     # 1 = the reference's per-sample behavior.
     eval_batch_size: int = 1
+    # TPU-native extension: decode loops (sequential generate AND batched
+    # eval decode) stop as soon as every request has emitted EOS
+    # (while_loop instead of the static max_new-step scan;
+    # token-identical). With real checkpoints, benchmark answers are a
+    # handful of tokens vs max_new=128, so the static scan wastes
+    # ~max_new/answer_len of the decode time. Opt-in until the while_loop
+    # per-step cost is measured on-chip vs the scan.
+    decode_early_stop: bool = False
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -97,6 +105,7 @@ class RetakeConfig:
             "quantization",
             "kv_cache_dtype",
             "eval_batch_size",
+            "decode_early_stop",
             "dataset_name",
             "anno_file",
             "dataloader_num_workers",

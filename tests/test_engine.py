@@ -402,6 +402,8 @@ def test_generate_batch_eos_first_token(tiny, rng):
     emits first (random weights never emit the real EOS id)."""
     import dataclasses
 
+    from retake_tpu.runtime import engine as eng_mod
+
     _, cfg, params = tiny
     rt = RetakeConfig.from_dict(
         {"longvideo_kwargs": {"chunked_prefill_frames": 2,
@@ -532,3 +534,87 @@ def test_generate_batch_sampling_matches_sequential(tiny, rng):
     batch = engine.generate_batch(reqs, max_new_tokens=6)
     for b, s in zip(batch, seq):
         np.testing.assert_array_equal(b.tokens, s.tokens)
+
+
+def test_decode_batch_early_stop_matches_scan(tiny, rng):
+    """while_loop early-exit batched decode (decode_batch(early_stop=True))
+    is token-identical to the static scan — both when no request hits EOS
+    (full trip count) and when EVERY request hits 'EOS' early (the exit
+    actually fires: rebind eos_token_id to a token the model emits, so the
+    loop stops before max_new and the post-EOS buffer rows keep their EOS
+    prefill)."""
+    import dataclasses
+
+    from retake_tpu.runtime import engine as eng_mod
+
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    reqs = []
+    for grid_t, plen in ((2, 5), (4, 3)):
+        ids, patches, grid = make_video_request(
+            cfg, rng, grid_t=grid_t, prompt_len=plen
+        )
+        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                         video_grid_thw=grid))
+    max_new = 8
+
+    def run(cfg_, early):
+        eng = Qwen2VLEngine(cfg_, params, rt)
+        states = [eng.generate(**r, max_new_tokens=max_new,
+                               _prefill_only=True) for r in reqs]
+        return eng_mod.decode_batch(params, cfg_, rt, states, max_new,
+                                    early_stop=early)
+
+    base = run(cfg, False)
+    fast = run(cfg, True)
+    for b, f in zip(base, fast):
+        np.testing.assert_array_equal(b.tokens, f.tokens)
+        assert len(b.tokens) == max_new  # no natural EOS on random weights
+
+    # force an early exit: declare a token the model actually produces to
+    # be EOS (2nd decoded token of request 0)
+    eos2 = int(base[0].tokens[2])
+    cfg2 = dataclasses.replace(cfg, eos_token_id=eos2)
+    base2 = run(cfg2, False)
+    fast2 = run(cfg2, True)
+    hit = False
+    for b, f in zip(base2, fast2):
+        np.testing.assert_array_equal(b.tokens, f.tokens)
+        hit = hit or len(b.tokens) < max_new
+    assert hit, "rebound EOS never fired; early-exit path not exercised"
+
+
+def test_generate_decode_early_stop_matches(tiny, rng):
+    """Sequential generate with config decode_early_stop: true is
+    token-identical to the default static scan, both without a natural
+    EOS (full trip) and with a rebound EOS that fires mid-decode."""
+    import dataclasses
+
+    _, cfg, params = tiny
+    base_rt = {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                                    "frame_chunk_size": 2}}
+    ids, patches, grid = make_video_request(cfg, rng, grid_t=2, prompt_len=5)
+    req = dict(input_ids=ids, pixel_values_videos=patches,
+               video_grid_thw=grid)
+    max_new = 8
+
+    def run(cfg_, early):
+        rt = RetakeConfig.from_dict(
+            {**base_rt, "decode_early_stop": early})
+        eng = Qwen2VLEngine(cfg_, params, rt)
+        return eng.generate(**req, max_new_tokens=max_new)
+
+    base = run(cfg, False)
+    fast = run(cfg, True)
+    np.testing.assert_array_equal(base.tokens, fast.tokens)
+    assert len(base.tokens) == max_new
+
+    eos2 = int(base.tokens[2])
+    cfg2 = dataclasses.replace(cfg, eos_token_id=eos2)
+    base2 = run(cfg2, False)
+    fast2 = run(cfg2, True)
+    np.testing.assert_array_equal(base2.tokens, fast2.tokens)
+    assert len(base2.tokens) < max_new

@@ -162,10 +162,53 @@ def run_long_admission(eng, max_new=192):
     }), flush=True)
 
 
+def run_mixed_decode_impl(eng, max_new=256):
+    """End-to-end serving TPOT A/B for the dead-block-skipping decode
+    kernel: mixed-length tenants (64-frame and 1024-frame requests) under
+    ONE long shared bucket, steady-state decode, decode_attn_impl xla vs
+    pallas. The kernel's HBM reads track each slot's live regions instead
+    of B x bucket (tools/decode_gapped_bench.py measures the op alone;
+    this measures the whole serving step)."""
+    import bench as b
+
+    names = ("input_ids", "pixel_values_videos", "video_grid_thw")
+    reqs = [dict(zip(names, b.build_request(eng.cfg, num_frames=f)))
+            for f in (64, 64, 1024, 64)]
+    kw = dict(batch_slots=4, segment_steps=32, max_new_tokens=max_new,
+              prefill_bucket=32768 + 8192, interleave_prefill=False)
+    out = {}
+    for impl in ("xla", "pallas"):
+        ContinuousServer(eng, decode_attn_impl=impl, **kw).run(
+            [dict(r) for r in reqs])  # compile
+        server = ContinuousServer(eng, decode_attn_impl=impl, **kw)
+        t0 = time.perf_counter()
+        res = server.run([dict(r) for r in reqs])
+        wall = time.perf_counter() - t0
+        n_tok = sum(len(r.tokens) for r in res)
+        # steady-state decode time = wall minus the serial prefill span
+        # (last first_token_s); segments dominate afterwards
+        t_prefill = max(r.first_token_s for r in res)
+        dec_s = wall - t_prefill
+        out[impl] = {
+            "decode_tok_s": round(n_tok / dec_s, 1),
+            "tpot_ms": round(dec_s / (n_tok / len(res)) * 1e3, 2),
+            "wall_s": round(wall, 2),
+        }
+        print(json.dumps({impl: out[impl]}), flush=True)
+    print(json.dumps({
+        "pallas_decode_speedup":
+            round(out["pallas"]["decode_tok_s"]
+                  / out["xla"]["decode_tok_s"], 3),
+    }), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--poisson", action="store_true",
                    help="continuous-vs-static A/B on a Poisson trace")
+    p.add_argument("--mixed_impl", action="store_true",
+                   help="mixed-length tenants: decode_attn_impl xla vs "
+                        "pallas end-to-end serving TPOT")
     p.add_argument("--long_admission", action="store_true",
                    help="interleaved-prefill A/B: short request decoding "
                         "while a 512-frame request is admitted")
@@ -188,6 +231,9 @@ def main():
 
     if args.long_admission:
         run_long_admission(eng)
+        return
+    if args.mixed_impl:
+        run_mixed_decode_impl(eng)
         return
     if not args.poisson:
         throughput_curve(eng, reqs)
