@@ -83,7 +83,10 @@ def _vit_chunk_tp(
     replicated ViT weights cost ~1.3 GB/chip at so400m scale — the
     sharding that matters for HBM (LLM layers, KV cache) stays in
     parallel/mesh.py."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     tp = mesh.shape["tp"]
     assert grid_t % tp == 0, (grid_t, tp)

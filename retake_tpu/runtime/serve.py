@@ -139,6 +139,7 @@ class ServeResult:
     prefill_start_s: float
     first_token_s: float  # prefill done = first token ready
     finish_s: float  # last token ready (end of its final segment)
+    cancelled: bool = False  # client disconnect (on_tokens returned False)
 
     @property
     def ttft_s(self) -> float:  # queue wait + prefill
@@ -427,7 +428,17 @@ class ContinuousServer:
         budget-trimmed). The concatenation over calls equals the returned
         ``ServeResult.tokens``. Granularity is the segment, not the token
         — that is the server's host-sync cadence (one device round-trip
-        per segment is what keeps decode at device speed)."""
+        per segment is what keeps decode at device speed).
+
+        CANCELLATION (client disconnect): an ``on_tokens`` call returning
+        ``False`` (exactly — ``None``, the usual no-return, streams on)
+        cancels that request: the slot frees at that harvest point, its
+        ``ServeResult`` carries the tokens delivered so far with
+        ``cancelled=True``, and the lane is immediately available to the
+        next admission. Tokens the slot decoded past the cancel point are
+        dropped on the host; the device pipeline is untouched (a decode
+        lane costs the same whether its tokens are kept or not, so there
+        is nothing to claw back mid-segment)."""
         n = len(requests)
         arrivals = list(arrival_times or [0.0] * n)
         assert len(arrivals) == n and sorted(arrivals) == arrivals, (
@@ -482,17 +493,21 @@ class ContinuousServer:
                 self.slot_max[slot] = req_max
                 slot_req[slot] = next_req
                 slot_tokens[slot] = [st.first_token_host]
-                if on_tokens is not None:
-                    on_tokens(next_req, [int(st.first_token_host)])
                 slot_meta[slot] = dict(
                     arrival=arrivals[next_req], prefill_start=t_pf,
                     first_token=now(),
                 )
+                if on_tokens is not None:
+                    ret = on_tokens(next_req, [int(st.first_token_host)])
+                    if ret is False:  # cancelled at first token
+                        _finish(slot, cancelled=True)
+                        next_req += 1
+                        continue
                 if self.done[slot]:  # EOS at first token: finish immediately
                     _finish(slot)
                 next_req += 1
 
-        def _finish(slot):
+        def _finish(slot, cancelled=False):
             i = slot_req.pop(slot)
             m = slot_meta.pop(slot)
             results[i] = ServeResult(
@@ -500,6 +515,7 @@ class ContinuousServer:
                 tokens=np.asarray(slot_tokens.pop(slot)),
                 arrival_s=m["arrival"], prefill_start_s=m["prefill_start"],
                 first_token_s=m["first_token"], finish_s=now(),
+                cancelled=cancelled,
             )
             self.done[slot] = True
             self.final_len[slot] = 0
@@ -529,7 +545,10 @@ class ContinuousServer:
                         col = col[: eos[0] + 1]
                     buf.extend(col.tolist())
                     if on_tokens is not None and len(col):
-                        on_tokens(req_id, col.tolist())
+                        ret = on_tokens(req_id, col.tolist())
+                        if ret is False:  # client disconnected: free the lane
+                            _finish(slot, cancelled=True)
+                            continue
                     if len(eos) or len(buf) >= int(self.slot_max[slot]):
                         _finish(slot)
 

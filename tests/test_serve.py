@@ -370,6 +370,56 @@ def test_continuous_serve_streaming_callback(tiny, rng):
                                       np.asarray(streamed[res.request_id]))
 
 
+def test_continuous_serve_cancellation(tiny, rng):
+    """on_tokens returning False cancels the request (client disconnect):
+    its ServeResult carries the tokens delivered so far with
+    cancelled=True, the freed lane serves the remaining queue, and the
+    OTHER requests' tokens stay exactly their solo generate streams."""
+    engine, reqs = _build(tiny, rng, n_reqs=4)
+    max_new = 9
+    seq = [engine.generate(**r, max_new_tokens=max_new) for r in reqs]
+    calls: dict = {}
+
+    def on_tokens(req_id, toks):
+        calls.setdefault(req_id, []).extend(toks)
+        if req_id == 0 and len(calls[0]) > 1:  # cancel after its first
+            return False  # harvested decode segment
+
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=max_new,
+        gap_capacity=6,
+    )
+    results = server.run(reqs, on_tokens=on_tokens)
+    assert results[0].cancelled
+    n0 = len(results[0].tokens)
+    assert 1 < n0 < len(seq[0].tokens)
+    np.testing.assert_array_equal(results[0].tokens, seq[0].tokens[:n0])
+    for res, s in zip(results[1:], seq[1:]):
+        assert not res.cancelled
+        np.testing.assert_array_equal(res.tokens, s.tokens)
+
+
+def test_continuous_serve_cancel_at_first_token(tiny, rng):
+    """Cancellation at the admission callback (before any decode segment)
+    frees the slot immediately; the single delivered token is returned."""
+    engine, reqs = _build(tiny, rng, n_reqs=3)
+
+    def on_tokens(req_id, toks):
+        if req_id == 1:
+            return False
+
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=6,
+        gap_capacity=6,
+    )
+    results = server.run(reqs, on_tokens=on_tokens)
+    assert results[1].cancelled and len(results[1].tokens) == 1
+    seq = [engine.generate(**r, max_new_tokens=6) for r in reqs]
+    for i in (0, 2):
+        assert not results[i].cancelled
+        np.testing.assert_array_equal(results[i].tokens, seq[i].tokens)
+
+
 def test_interleaved_prefill_completes_tenant_mid_admission(tiny, rng):
     """A tenant whose remaining budget fits in the blind segments must
     COMPLETE (stamp + free) during the long admission — not at the
