@@ -145,6 +145,11 @@ def decode_gapped_flash_state(
     the caller merges the current token's key/value append-free and
     normalizes (ops/attention.decode_attention_batch_gapped)."""
     b, num_kv, g, d = query.shape
+    assert g <= ROWS, (
+        f"GQA group size {g} exceeds the kernel's ROWS={ROWS} query-row "
+        f"tile (num_heads/num_kv_heads must be <= {ROWS}; use the xla "
+        f"decode impl for wider groups)"
+    )
     s = key_cache.shape[2]
     quantized = k_scale is not None
     block_k = min(block_k, s)

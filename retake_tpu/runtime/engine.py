@@ -780,6 +780,7 @@ class Qwen2VLEngine:
         # sequential path) on the einsum; see decode_batch's attn_impl note.
         return decode_batch(
             self.params, self.cfg, self.retake, states, max_new_tokens,
+            early_stop=bool(getattr(self.retake, "decode_early_stop", False)),
         )
 
     def generate(

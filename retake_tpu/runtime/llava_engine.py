@@ -326,6 +326,7 @@ class LlavaOnevisionEngine:
         # engine.decode_batch's attn_impl note
         return decode_batch(
             self.params, self.cfg.text, self.retake, states, max_new_tokens,
+            early_stop=bool(getattr(self.retake, "decode_early_stop", False)),
         )
 
 

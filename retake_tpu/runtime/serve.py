@@ -211,6 +211,10 @@ class ContinuousServer:
         # bucket, bf16 AND int8 (tools/decode_gapped_bench.py), but a
         # flash-order reduction, so tokens may diverge from generate
         # within ulps.
+        assert decode_attn_impl in ("xla", "pallas", "flash"), (
+            f"decode_attn_impl must be 'xla', 'pallas' or 'flash', got "
+            f"{decode_attn_impl!r}"
+        )
         self.decode_attn_impl = str(decode_attn_impl)
         self.staged = []  # un-harvested segment token arrays (device)
         self.emitted = np.zeros(self.b, np.int32)
@@ -347,10 +351,24 @@ class ContinuousServer:
         if not slot_req or not hasattr(self, "k_all"):
             return
         for _ in range(self.per_hook):
+            if not slot_req:
+                break
             need = [self.slot_max[s] - 1 - self.emitted[s]
                     for s in slot_req]
             if max(need) <= 0:
                 break  # every tenant's full stream is already dispatched
+            if any(n <= 0 for n in need):
+                # some tenant's stream is ALREADY fully dispatched while
+                # others still need segments: drain everything now so the
+                # finished tenant stamps/frees BEFORE the next dispatch —
+                # otherwise further segments keep writing junk KV for it
+                # and a same-hook compaction would fold those writes past
+                # the bound final_len + max_new <= P (with per_hook >= 2
+                # the old code could hit exactly that)
+                if self._drain is None:
+                    break
+                self._drain(keep_last=0)
+                continue  # recompute need against the surviving tenants
             if max(need) > self.seg and any(0 < n < self.seg for n in need):
                 # a tenant's FINAL partial segment would overshoot its
                 # budget (junk KV writes past max_new break the
@@ -359,9 +377,9 @@ class ContinuousServer:
                 # partial tenant until the prefill ends (rare mixed case)
                 break
             # when max(need) <= seg this segment COMPLETES every tenant:
-            # overshoot junk is bounded within it, no compaction runs
-            # before the full drain below frees the slots, so the fold
-            # bound is never evaluated against the overshoot
+            # overshoot junk is bounded within it, and the drain at the
+            # next iteration (or the full drain below) frees the slots
+            # before any later compaction sees the overshoot
             if self.f_global + self.seg > self.gap_cap:
                 self._compact(self._counts())
             self._segment()
@@ -497,14 +515,13 @@ class ContinuousServer:
                     arrival=arrivals[next_req], prefill_start=t_pf,
                     first_token=now(),
                 )
+                ret = None
                 if on_tokens is not None:
                     ret = on_tokens(next_req, [int(st.first_token_host)])
-                    if ret is False:  # cancelled at first token
-                        _finish(slot, cancelled=True)
-                        next_req += 1
-                        continue
                 if self.done[slot]:  # EOS at first token: finish immediately
-                    _finish(slot)
+                    _finish(slot)  # (completion wins over a same-call cancel)
+                elif ret is False:  # cancelled at first token
+                    _finish(slot, cancelled=True)
                 next_req += 1
 
         def _finish(slot, cancelled=False):
@@ -544,13 +561,19 @@ class ContinuousServer:
                     if len(eos):
                         col = col[: eos[0] + 1]
                     buf.extend(col.tolist())
+                    finished = bool(len(eos)) or (
+                        len(buf) >= int(self.slot_max[slot])
+                    )
+                    ret = None
                     if on_tokens is not None and len(col):
                         ret = on_tokens(req_id, col.tolist())
-                        if ret is False:  # client disconnected: free the lane
-                            _finish(slot, cancelled=True)
-                            continue
-                    if len(eos) or len(buf) >= int(self.slot_max[slot]):
+                    if finished:
+                        # completion wins over a same-chunk disconnect: the
+                        # full stream was delivered, so the result is a
+                        # normal finish, not a cancellation
                         _finish(slot)
+                    elif ret is False:  # client disconnected: free the lane
+                        _finish(slot, cancelled=True)
 
         self._slot_req = slot_req  # the prefill-dispatch hook reads these
         self._drain = drain_staged

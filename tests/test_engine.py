@@ -402,8 +402,6 @@ def test_generate_batch_eos_first_token(tiny, rng):
     emits first (random weights never emit the real EOS id)."""
     import dataclasses
 
-    from retake_tpu.runtime import engine as eng_mod
-
     _, cfg, params = tiny
     rt = RetakeConfig.from_dict(
         {"longvideo_kwargs": {"chunked_prefill_frames": 2,
@@ -492,9 +490,11 @@ def test_prefill_state_trimmed_and_mixed_bucket_decode(tiny, rng, monkeypatch):
     assert states[0].attn_need < states[1].attn_need
     for st in states:
         assert st.cache.budget == st.attn_need, (st.cache.budget, st.attn_need)
-    results = eng_mod.decode_batch(
-        params, cfg, rt, states, 5, engine.attn_impl
-    )
+    # default (einsum) decode impl: this test asserts EXACT token equality
+    # vs sequential generate, which only the einsum's fp reduction order
+    # guarantees (generate_batch deliberately doesn't forward attn_impl
+    # either — engine.py)
+    results = eng_mod.decode_batch(params, cfg, rt, states, 5)
     for r, s in zip(results, seq):
         np.testing.assert_array_equal(r.tokens, s.tokens)
         assert r.cache_len == s.cache_len

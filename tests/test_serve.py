@@ -453,6 +453,45 @@ def test_interleaved_prefill_completes_tenant_mid_admission(tiny, rng):
         results[0].finish_s, results[1].first_token_s)
 
 
+def test_interleaved_prefill_mixed_completion_drains_before_dispatch(
+        tiny, rng):
+    """Regression (review finding): with interleave_segments_per_hook >= 2,
+    a tenant whose stream completes mid-hook must be DRAINED (stamped +
+    freed) before the next blind-segment dispatch — otherwise further
+    segments keep writing junk KV for it and a same-hook compaction folds
+    those writes past the final_len + max_new <= P bound. Two live tenants
+    with different budgets (one completing exactly on a segment boundary,
+    one still needing full segments) ride under a long admission with a
+    gap capacity that forces compactions; every token stream must still
+    match solo generate, and the finished tenant must free mid-admission."""
+    engine, _ = _build(tiny, rng, n_reqs=0)
+    reqs = []
+    for plen, mn in ((4, 7), (6, 17)):  # needs 6 and 16 = multiples of seg
+        ids, patches, grid = make_video_request(cfg=engine.cfg, rng=rng,
+                                                grid_t=2, prompt_len=plen)
+        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                         video_grid_thw=grid, max_new_tokens=mn))
+    ids, patches, grid = make_video_request(cfg=engine.cfg, rng=rng,
+                                            grid_t=16, grid_h=8, grid_w=8,
+                                            prompt_len=5)
+    reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                     video_grid_thw=grid))
+    seq = [engine.generate(**{k: v for k, v in r.items()
+                              if k != "max_new_tokens"},
+                           max_new_tokens=r.get("max_new_tokens", 12))
+           for r in reqs]
+    server = ContinuousServer(
+        engine, batch_slots=3, segment_steps=3, max_new_tokens=12,
+        gap_capacity=9, interleave_segments_per_hook=3,
+    )
+    results = server.run(reqs)
+    for res, s in zip(results, seq):
+        np.testing.assert_array_equal(res.tokens, s.tokens)
+    # the short tenant completed strictly inside the long admission window
+    assert results[0].finish_s < results[2].first_token_s, (
+        results[0].finish_s, results[2].first_token_s)
+
+
 def test_compaction_preserves_attention(rng):
     """Semantic compaction invariant (beyond the elementwise fold test):
     a decode step's attention output over the PRE-compaction cache
