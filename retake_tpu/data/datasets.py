@@ -27,6 +27,21 @@ class BaseDataset:
     def __len__(self) -> int:
         return len(self.annos)
 
+    def video_key(self, idx: int) -> str:
+        """Identity of a sample's video (frame directory) without loading
+        frames — the eval runner groups same-video questions with it when
+        ``reuse_video_features`` is on."""
+        return self.annos[idx]["videos"][0]
+
+    def item_light(self, idx: int) -> Tuple[int, Dict[str, Any], Dict[str, Any]]:
+        """__getitem__ without the frame load (question + meta only), for
+        samples whose video is already encoded (VideoFeatures reuse)."""
+        anno = self.annos[idx]
+        question = anno["messages"][0]["content"].replace("<video>", "")
+        meta = dict(anno["meta"])
+        meta["answer"] = anno["messages"][1]["content"]
+        return idx, {"question": question, "video": None}, meta
+
     def __getitem__(self, idx: int) -> Tuple[int, Dict[str, Any], Dict[str, Any]]:
         anno = self.annos[idx]
         question = anno["messages"][0]["content"].replace("<video>", "")

@@ -177,10 +177,17 @@ class Qwen2VLProcessor:
         question: str,
         frames: Optional[Sequence[np.ndarray]] = None,
         images: Optional[Sequence[np.ndarray]] = None,
+        video_grid: Optional[Sequence[int]] = None,
     ):
         """Returns dict(input_ids, pixel_values_videos, video_grid_thw[,
         pixel_values, image_grid_thw]). Still images precede the video in the
-        prompt (reference content order: vision blocks, then the question)."""
+        prompt (reference content order: vision blocks, then the question).
+
+        ``video_grid`` (a (t, h, w) patch grid from a previous call's
+        ``video_grid_thw``) emits the video placeholder tokens WITHOUT
+        reprocessing pixels — for re-asking about an already-encoded video
+        (engine.encode_video / VideoFeatures reuse); ``pixel_values_videos``
+        is None in that case."""
         pixel = grid = None
         vision_ids: List[int] = []
         img_pixels = img_grids = None
@@ -210,6 +217,9 @@ class Qwen2VLProcessor:
                 self.min_pixels,
                 self.max_pixels,
             )
+        elif video_grid is not None:
+            grid = tuple(int(x) for x in np.asarray(video_grid).reshape(-1)[:3])
+        if grid is not None:
             n_tokens = (grid[0] * grid[1] * grid[2]) // self.merge_size**2
             vision_ids += (
                 [self.vision_start_token_id]
@@ -294,7 +304,11 @@ class LlavaOnevisionVideoProcessor:
         img = Image.fromarray(frame)
         return np.asarray(img.resize((s, s), resample=Image.BICUBIC))
 
-    def __call__(self, question: str, frames=None, images=None):
+    def __call__(self, question: str, frames=None, images=None,
+                 num_frames: Optional[int] = None):
+        """``num_frames`` emits the video placeholder tokens without
+        reprocessing pixels (VideoFeatures reuse; see Qwen2VLProcessor's
+        ``video_grid``) — ``pixel_values_videos`` is None in that case."""
         from retake_tpu.models.llava_onevision import anyres
 
         vision_ids: List[int] = []
@@ -327,7 +341,9 @@ class LlavaOnevisionVideoProcessor:
             img_sizes = np.asarray(sizes)
         if frames is not None:
             pixels = np.stack([self._resize_square(f) for f in frames])
-            n = len(frames) * self.tokens_per_frame + 1
+            num_frames = len(frames)
+        if num_frames is not None:
+            n = num_frames * self.tokens_per_frame + 1
             vision_ids += [self.video_token_id] * n
         pre, post = CHAT_TEMPLATE.split("{video}")
         post = post.format(question=question)

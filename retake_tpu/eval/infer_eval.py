@@ -177,9 +177,32 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 done[rec["idx"]] = rec["answer"]
         print(f"[rank {rank}] resuming: {len(done)} samples already done")
 
-    indices = [
-        i for i in range(len(dataset)) if i % world == rank and i not in done
-    ]
+    reuse = bool(getattr(rt, "reuse_video_features", False))
+    if reuse:
+        # shard round-robin BY VIDEO so one process owns all of a video's
+        # questions and encodes the vision stage once (VideoFeatures). The
+        # reference round-robins by sample (infer_eval.py:181-182) — the
+        # assignment differs but the merged artifacts are identical (the
+        # merge is idx-keyed and every sample runs exactly once).
+        order: Dict[str, int] = {}
+        groups_by_vid: Dict[str, list] = {}
+        for i in range(len(dataset)):
+            key = dataset.video_key(i)
+            if key not in order:
+                order[key] = len(order)
+            groups_by_vid.setdefault(key, []).append(i)
+        groups = [
+            [i for i in members if i not in done]
+            for key, members in groups_by_vid.items()
+            if order[key] % world == rank
+        ]
+        groups = [g for g in groups if g]
+        indices = [i for g in groups for i in g]
+    else:
+        indices = [
+            i for i in range(len(dataset))
+            if i % world == rank and i not in done
+        ]
 
     def load(idx):
         i, message, meta = dataset[idx]
@@ -194,7 +217,7 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
     n_done = 0
     with open(shard_file, "a") as journal:
 
-        def journal_one(sample, result):
+        def journal_one(sample, result, extra_metrics=None):
             nonlocal n_done
             i, message, meta = sample
             answer = trim_answer(processor.decode(result.tokens))
@@ -212,6 +235,7 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                     "input_tokens": int(result.input_len),
                     "cache_tokens": int(result.cache_len),
                     "new_tokens": int(len(result.tokens)),
+                    **(extra_metrics or {}),
                 },
             }) + "\n")
             journal.flush()
@@ -230,6 +254,7 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
         # glacial — CLAUDE.md) are dropped immediately; only device-side KV
         # caches — trimmed to each request's own bucket — accumulate.
         pending: Dict[int, list] = {}
+        extras_by_idx: Dict[int, dict] = {}
 
         def flush_batch(bucket):
             group = pending.pop(bucket, [])
@@ -244,7 +269,67 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 early_stop=bool(getattr(rt, "decode_early_stop", False)),
             )
             for sample, res in zip(samples, results):
-                journal_one(sample, res)
+                journal_one(sample, res, extras_by_idx.pop(sample[0], None))
+
+        if reuse:
+            # one vision encode per VIDEO; each question reuses the
+            # VideoFeatures artifact. Frames load once per video (leader =
+            # the group's first pending sample); other questions re-tokenize
+            # text-only (processor video_grid / num_frames modes).
+            def load_group(gi):
+                i, message, meta = dataset[groups[gi][0]]
+                inputs = processor(message["question"], message["video"])
+                return i, message, meta, inputs
+
+            for gi, loaded in prefetch_iter(
+                list(range(len(groups))), load_group,
+                rt.dataloader_num_workers,
+            ):
+                i, message, meta, inputs = loaded
+                t_enc = time.time()
+                features = engine.encode_video(
+                    inputs["pixel_values_videos"], inputs["video_grid_thw"]
+                )
+                vision_s = time.time() - t_enc
+                grid = inputs["video_grid_thw"]
+                for j, midx in enumerate(groups[gi]):
+                    if j == 0:
+                        sample = (i, message, meta)
+                        in_ids = inputs["input_ids"]
+                        extras = {"vision_s": round(vision_s, 3)}
+                    else:
+                        midx, msg_j, meta_j = dataset.item_light(midx)
+                        if grid is not None:
+                            in_ids = processor(
+                                msg_j["question"], video_grid=grid[0]
+                            )["input_ids"]
+                        else:
+                            in_ids = processor(
+                                msg_j["question"], num_frames=features.t
+                            )["input_ids"]
+                        sample = (midx, msg_j, meta_j)
+                        extras = {"vision_s": 0.0, "vision_reused": True}
+                    if bs == 1:
+                        result = engine.generate(
+                            in_ids, video_features=features,
+                            max_new_tokens=rt.max_new_tokens,
+                        )
+                        journal_one(sample, result, extras)
+                        continue
+                    state = engine.generate(
+                        in_ids, video_features=features,
+                        max_new_tokens=rt.max_new_tokens, _prefill_only=True,
+                    )
+                    extras_by_idx[sample[0]] = extras
+                    pending.setdefault(state.attn_need, []).append(
+                        (sample, state)
+                    )
+                    if len(pending[state.attn_need]) >= bs:
+                        flush_batch(state.attn_need)
+                del features, loaded, inputs  # free the video's embeddings
+            for bucket in sorted(pending):
+                flush_batch(bucket)
+            return done
 
         for _, loaded in prefetch_iter(
             indices, load, rt.dataloader_num_workers

@@ -585,6 +585,38 @@ class GenerationResult:
 
 
 @dataclasses.dataclass
+class VideoFeatures:
+    """Question-independent vision artifact, reusable across every question
+    about the same video.
+
+    The reference recomputes the whole vision tower + DPSelect per question
+    (retake/qwen2_vl.py:597-627 runs inside each generate), even though
+    nothing in that stage depends on the prompt — and the eval benchmarks
+    ask ~3 questions per video (VideoMME). ``Engine.encode_video`` returns
+    this artifact once; ``generate(video_features=...)`` consumes it
+    without touching pixels. The embeddings stay on device; drop the
+    object after a video's last question to release the HBM.
+
+    Field semantics per family:
+      * Qwen2-VL: ``t``/``tgt`` are temporal-merged frame counts
+        (grid_t), ``hw`` is merged tokens per temporal step, ``keymask``
+        is [tgt*hw] over LLM video tokens, ``grid`` is the RAW (t, h, w)
+        patch grid (drives position ids + chunk sizing).
+      * LLaVA-OneVision: ``t``/``tgt`` are raw frame counts, ``hw`` is the
+        UN-POOLED patches/frame (729), ``keymask`` is [tgt*hw] and gets
+        truncated onto the pooled token stream at scatter (the reference
+        masked_scatter quirk), ``grid`` is None.
+    """
+
+    embeds: object  # device [n_video_tokens, d] LLM-space embeddings
+    keymask: np.ndarray  # bool keypatch flags (may be empty)
+    t: int  # pre-compression temporal count
+    tgt: int  # post-compression temporal count
+    hw: int  # mask units per temporal step
+    grid: Optional[tuple] = None  # raw (t, h, w) grid (Qwen2-VL only)
+
+
+@dataclasses.dataclass
 class PrefillState:
     """Everything batched decode needs from one request's prefill."""
     cache: object  # KVCache (consumed — set to None — by decode_batch)
@@ -729,6 +761,69 @@ class Qwen2VLEngine:
         assert off == pixels.shape[0], (off, pixels.shape)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
+    def encode_video(
+        self, pixel_values_videos: np.ndarray, video_grid_thw,
+        on_dispatch=None, _timer=None,
+    ) -> VideoFeatures:
+        """Vision tower + visual compression (DPSelect / MA-LLM) as a
+        question-independent, reusable artifact (see VideoFeatures).
+
+        Exactly the vision stage ``generate`` runs inline; token streams are
+        identical whether features are computed inline or reused.
+        """
+        from retake_tpu.utils.profiling import StageTimer
+
+        timer = _timer or StageTimer()
+        cfg, rt = self.cfg, self.retake
+        grid = np.asarray(video_grid_thw).reshape(-1, 3)
+        t, h, w = (int(x) for x in grid[0])
+        with timer.stage("vision_tower"):
+            video_embeds = self.run_vision(
+                pixel_values_videos, grid[0], on_dispatch=on_dispatch
+            )
+        m2 = cfg.vision.spatial_merge_size**2
+        hw_m = h * w // m2
+        tgt = t
+        keymask_np = np.zeros(t * hw_m, bool)
+        if rt.visual_compression:
+            with timer.stage("dpselect"):
+                vc = rt.visual
+                # grid_t here is the temporal-patch-merged frame count
+                tgt = max(1, round(vc.compression_ratio * t))
+                if vc.compression_method == "Keyframe":
+                    if tgt == t:  # ratio 1.0: mask only, skip the
+                        # identity gather of the multi-GB bank
+                        keymask = _dpselect_mask(
+                            video_embeds, t, hw_m, tgt, 3, vc.patch_sync
+                        )
+                    else:
+                        video_embeds, keymask = _dpselect_gather(
+                            video_embeds, t, hw_m, tgt, 3, vc.patch_sync
+                        )
+                    keymask_np = (
+                        np.asarray(keymask)
+                        if vc.return_keyframe_mask
+                        else np.zeros(tgt * hw_m, bool)
+                    )
+                elif vc.compression_method in ("MA-LLM", "MA-LLM-hard"):
+                    bank = video_embeds.reshape(t, hw_m, -1)
+                    video_embeds = dpselect.malm_compress(
+                        bank, tgt, sync=vc.patch_sync,
+                        hard=vc.compression_method == "MA-LLM-hard",
+                    ).reshape(tgt * hw_m, -1)
+                    keymask_np = np.zeros(tgt * hw_m, bool)
+                else:
+                    raise NotImplementedError(vc.compression_method)
+        # drain the vision queue so its intermediates free before the
+        # prefill allocates (host dispatch runs far ahead; every queued
+        # stage's buffers are live at once — block_until_ready is a
+        # no-op through the axon tunnel, a host read is the fence)
+        float(video_embeds[0, 0].astype(jnp.float32))
+        return VideoFeatures(
+            embeds=video_embeds, keymask=keymask_np,
+            t=t, tgt=tgt, hw=hw_m, grid=(t, h, w),
+        )
+
     def generate_batch(
         self,
         requests: List[dict],
@@ -791,6 +886,8 @@ class Qwen2VLEngine:
         max_new_tokens: Optional[int] = None,
         pixel_values: Optional[np.ndarray] = None,
         image_grid_thw=None,
+        video_features: Optional[VideoFeatures] = None,  # precomputed
+        #   encode_video artifact (reused across questions on one video)
         _prefill_only: bool = False,
         on_dispatch=None,  # serving hook: called after each ViT-chunk /
         #   prefill-step dispatch so a server can interleave decode work
@@ -805,6 +902,9 @@ class Qwen2VLEngine:
         ids = np.asarray(input_ids, dtype=np.int64).reshape(-1)
 
         t0 = time.perf_counter()
+        if pixel_values_videos is None and video_features is not None:
+            # reuse path: the grid rides in the features
+            video_grid_thw = np.asarray([video_features.grid])
         # 1. original position ids (pre-compression; HF computes them first)
         grid = None if video_grid_thw is None else np.asarray(video_grid_thw).reshape(-1, 3)
         igrid = None if image_grid_thw is None else np.asarray(image_grid_thw).reshape(-1, 3)
@@ -827,60 +927,26 @@ class Qwen2VLEngine:
             with timer.stage("vision_tower_images"):
                 image_embeds = self.run_vision_images(pixel_values, igrid)
 
-        # 2. vision tower + DPSelect
+        # 2. vision tower + DPSelect (or a precomputed reusable artifact)
         video_embeds = None
         keypatch_tokens = np.zeros(len(ids), dtype=bool)
         if pixel_values_videos is not None:
-            with timer.stage("vision_tower"):
-                video_embeds = self.run_vision(
-                    pixel_values_videos, grid[0], on_dispatch=on_dispatch
+            video_features = self.encode_video(
+                pixel_values_videos, grid[0], on_dispatch=on_dispatch,
+                _timer=timer,
+            )
+        if video_features is not None:
+            vf = video_features
+            video_embeds = vf.embeds
+            if vf.tgt != vf.t:
+                vi = np.where(ids == cfg.video_token_id)[0]
+                ids, pos = pos_lib.reforge_after_visual_compression(
+                    ids, pos, (int(vi[0]), int(vi[-1]) + 1),
+                    vf.tgt * vf.hw, vf.t - vf.tgt,
                 )
-            t, h, w = (int(x) for x in grid[0])
-            m2 = cfg.vision.spatial_merge_size**2
-            hw_m = h * w // m2
-            if rt.visual_compression:
-                with timer.stage("dpselect"):
-                    vc = rt.visual
-                    # grid_t here is the temporal-patch-merged frame count
-                    tgt = max(1, round(vc.compression_ratio * t))
-                    if vc.compression_method == "Keyframe":
-                        if tgt == t:  # ratio 1.0: mask only, skip the
-                            # identity gather of the multi-GB bank
-                            keymask = _dpselect_mask(
-                                video_embeds, t, hw_m, tgt, 3, vc.patch_sync
-                            )
-                        else:
-                            video_embeds, keymask = _dpselect_gather(
-                                video_embeds, t, hw_m, tgt, 3, vc.patch_sync
-                            )
-                        keymask_np = (
-                            np.asarray(keymask)
-                            if vc.return_keyframe_mask
-                            else np.zeros(tgt * hw_m, bool)
-                        )
-                    elif vc.compression_method in ("MA-LLM", "MA-LLM-hard"):
-                        bank = video_embeds.reshape(t, hw_m, -1)
-                        video_embeds = dpselect.malm_compress(
-                            bank, tgt, sync=vc.patch_sync,
-                            hard=vc.compression_method == "MA-LLM-hard",
-                        ).reshape(tgt * hw_m, -1)
-                        keymask_np = np.zeros(tgt * hw_m, bool)
-                    else:
-                        raise NotImplementedError(vc.compression_method)
-                    if tgt != t:
-                        vi = np.where(ids == cfg.video_token_id)[0]
-                        ids, pos = pos_lib.reforge_after_visual_compression(
-                            ids, pos, (int(vi[0]), int(vi[-1]) + 1),
-                            tgt * hw_m, t - tgt,
-                        )
-                        keypatch_tokens = np.zeros(len(ids), dtype=bool)
-                    vi = np.where(ids == cfg.video_token_id)[0]
-                    keypatch_tokens[vi[0] : vi[0] + len(keymask_np)] = keymask_np
-            # drain the vision queue so its intermediates free before the
-            # prefill allocates (host dispatch runs far ahead; every queued
-            # stage's buffers are live at once — block_until_ready is a
-            # no-op through the axon tunnel, a host read is the fence)
-            float(video_embeds[0, 0].astype(jnp.float32))
+                keypatch_tokens = np.zeros(len(ids), dtype=bool)
+            vi = np.where(ids == cfg.video_token_id)[0]
+            keypatch_tokens[vi[0] : vi[0] + len(vf.keymask)] = vf.keymask
 
         chunk_tokens = (
             self.get_chunk_tokens(grid[0]) if grid is not None else None

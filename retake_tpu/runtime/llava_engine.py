@@ -28,6 +28,7 @@ from retake_tpu.models.llava_onevision.config import LlavaOnevisionConfig
 from retake_tpu.ops import dpselect
 from retake_tpu.runtime.engine import (
     GenerationResult,
+    VideoFeatures,
     _dpselect_mask,  # shared ratio-1.0 mask-only DPSelect
     _write_rows,  # shared donated streaming-buffer insert (rank-generic)
     decode_batch,
@@ -191,6 +192,71 @@ class LlavaOnevisionEngine:
             )
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
+    def encode_video(
+        self, pixel_values_videos: np.ndarray, video_grid_thw=None,
+        on_dispatch=None, _timer=None,
+    ) -> VideoFeatures:
+        """SigLIP tower + visual compression + projector/pool/newline as a
+        question-independent reusable artifact (engine.VideoFeatures;
+        ``video_grid_thw`` is unused — API symmetry with Qwen2VLEngine)."""
+        from retake_tpu.utils.profiling import StageTimer
+
+        timer = _timer or StageTimer()
+        cfg, rt = self.cfg, self.retake
+        t = int(pixel_values_videos.shape[0])
+        with timer.stage("vision_tower"):
+            features = self.run_vision(
+                pixel_values_videos, on_dispatch=on_dispatch
+            )
+        hw = cfg.vision.num_patches
+        tgt = t
+        keymask_np = np.zeros(0, bool)
+        if rt.visual_compression:
+            with timer.stage("dpselect"):
+                vc = rt.visual
+                tgt = max(1, round(vc.compression_ratio * t))
+                if vc.compression_method == "Keyframe":
+                    if tgt == t:  # ratio 1.0: mask only, no identity
+                        # gather of the multi-GB bank
+                        keymask = _dpselect_mask(
+                            features, t, hw, tgt, 3, vc.patch_sync
+                        )
+                    else:
+                        features, keymask = _dpselect_gather(
+                            features, t, hw, tgt, 3, vc.patch_sync
+                        )
+                    keymask_np = (
+                        np.asarray(keymask)
+                        if vc.return_keyframe_mask
+                        else np.zeros(tgt * hw, bool)
+                    )
+                elif vc.compression_method in ("MA-LLM", "MA-LLM-hard"):
+                    features = dpselect.malm_compress(
+                        features.reshape(t, hw, -1), tgt,
+                        sync=vc.patch_sync,
+                        hard=vc.compression_method == "MA-LLM-hard",
+                    )
+                    keymask_np = np.zeros(tgt * hw, bool)
+                else:
+                    raise NotImplementedError(vc.compression_method)
+        with timer.stage("projector_pool"):
+            video_embeds = _project_pool_newline(
+                self.params, features, cfg.grid_side, cfg.pooled_grid,
+                self._vision_aq(),
+            )
+            features = None  # [t, 729, 1152] tower output: free 1.7 GB
+            # at 1024 frames before the prefill allocates its cache
+            # drain the vision queue so its intermediates actually free
+            # before the prefill allocates — the host dispatches far
+            # ahead and every queued stage's buffers are live at once
+            # (block_until_ready is a no-op through the axon tunnel; a
+            # 1-element host read is the reliable fence)
+            float(video_embeds[0, 0].astype(jnp.float32))
+        return VideoFeatures(
+            embeds=video_embeds, keymask=keymask_np,
+            t=t, tgt=tgt, hw=hw, grid=None,
+        )
+
     def generate(
         self,
         input_ids: np.ndarray,
@@ -199,6 +265,8 @@ class LlavaOnevisionEngine:
         max_new_tokens: Optional[int] = None,
         pixel_values: Optional[np.ndarray] = None,  # [n, p, S, S, 3] u8
         image_sizes=None,  # [n, 2] (H, W)
+        video_features: Optional[VideoFeatures] = None,  # precomputed
+        #   encode_video artifact (reused across questions on one video)
         _prefill_only: bool = False,
         on_dispatch=None,  # serving hook (see Qwen2VLEngine.generate)
     ) -> GenerationResult:
@@ -221,56 +289,14 @@ class LlavaOnevisionEngine:
         keypatch_tokens = np.zeros(len(ids), dtype=bool)
         num_frames = 0
         if pixel_values_videos is not None:
-            num_frames = int(pixel_values_videos.shape[0])
-            with timer.stage("vision_tower"):
-                features = self.run_vision(
-                    pixel_values_videos, on_dispatch=on_dispatch
-                )
-            t = num_frames
-            hw = cfg.vision.num_patches
-            tgt = t
-            keymask_np = np.zeros(0, bool)
-            if rt.visual_compression:
-                with timer.stage("dpselect"):
-                    vc = rt.visual
-                    tgt = max(1, round(vc.compression_ratio * t))
-                    if vc.compression_method == "Keyframe":
-                        if tgt == t:  # ratio 1.0: mask only, no identity
-                            # gather of the multi-GB bank
-                            keymask = _dpselect_mask(
-                                features, t, hw, tgt, 3, vc.patch_sync
-                            )
-                        else:
-                            features, keymask = _dpselect_gather(
-                                features, t, hw, tgt, 3, vc.patch_sync
-                            )
-                        keymask_np = (
-                            np.asarray(keymask)
-                            if vc.return_keyframe_mask
-                            else np.zeros(tgt * hw, bool)
-                        )
-                    elif vc.compression_method in ("MA-LLM", "MA-LLM-hard"):
-                        features = dpselect.malm_compress(
-                            features.reshape(t, hw, -1), tgt,
-                            sync=vc.patch_sync,
-                            hard=vc.compression_method == "MA-LLM-hard",
-                        )
-                        keymask_np = np.zeros(tgt * hw, bool)
-                    else:
-                        raise NotImplementedError(vc.compression_method)
-            with timer.stage("projector_pool"):
-                video_embeds = _project_pool_newline(
-                    self.params, features, cfg.grid_side, cfg.pooled_grid,
-                    self._vision_aq(),
-                )
-                features = None  # [t, 729, 1152] tower output: free 1.7 GB
-                # at 1024 frames before the prefill allocates its cache
-                # drain the vision queue so its intermediates actually free
-                # before the prefill allocates — the host dispatches far
-                # ahead and every queued stage's buffers are live at once
-                # (block_until_ready is a no-op through the axon tunnel; a
-                # 1-element host read is the reliable fence)
-                float(video_embeds[0, 0].astype(jnp.float32))
+            video_features = self.encode_video(
+                pixel_values_videos, on_dispatch=on_dispatch, _timer=timer
+            )
+        if video_features is not None:
+            vf = video_features
+            video_embeds = vf.embeds
+            t, tgt, keymask_np = vf.t, vf.tgt, vf.keymask
+            num_frames = t
             n_video_tokens = tgt * cfg.tokens_per_frame + 1
             if tgt != t:
                 # drop trailing video placeholder tokens

@@ -89,6 +89,16 @@ class RetakeConfig:
     # ~max_new/answer_len of the decode time. Opt-in until the while_loop
     # per-step cost is measured on-chip vs the scan.
     decode_early_stop: bool = False
+    # TPU-native extension: compute the vision tower + DPSelect ONCE per
+    # video and reuse the artifact (engine.encode_video -> VideoFeatures)
+    # for every question about that video. The eval benchmarks ask ~3
+    # questions per video, and the vision stage is question-independent —
+    # the reference recomputes it per question (qwen2_vl.py:597-627). With
+    # this on, the eval runner shards round-robin BY VIDEO (not by sample)
+    # so a video's questions land on one process; merged artifacts are
+    # unchanged. Costs holding one video's LLM-space embeddings in HBM
+    # across its questions (~1 GB at 2B/2048f, ~1.4 GB at LLaVA-7B/1024f).
+    reuse_video_features: bool = False
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -106,6 +116,7 @@ class RetakeConfig:
             "kv_cache_dtype",
             "eval_batch_size",
             "decode_early_stop",
+            "reuse_video_features",
             "dataset_name",
             "anno_file",
             "dataloader_num_workers",

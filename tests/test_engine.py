@@ -618,3 +618,44 @@ def test_generate_decode_early_stop_matches(tiny, rng):
     fast2 = run(cfg2, True)
     np.testing.assert_array_equal(base2.tokens, fast2.tokens)
     assert len(base2.tokens) < max_new
+
+
+@pytest.mark.parametrize("vc_kwargs", [
+    # ratio-1.0 mask-only DPSelect + PivotKV reforge (the shipped configs)
+    {"compression_ratio": 1.0, "return_keyframe_mask": True},
+    # actual frame dropping (tgt != t: the ids/pos reforge path)
+    {"compression_ratio": 0.5, "return_keyframe_mask": True},
+    # MA-LLM merge baseline
+    {"compression_ratio": 0.5, "compression_method": "MA-LLM"},
+])
+def test_video_features_reuse_matches_inline(tiny, rng, vc_kwargs):
+    """encode_video -> generate(video_features=...) must be token-exact vs
+    the inline vision path, reusable across DIFFERENT questions on the same
+    video (the vision stage is question-independent; the reference
+    recomputes it per question, qwen2_vl.py:597-627)."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {
+            "chunked_prefill_frames": 2, "frame_chunk_size": 2,
+            "kvcache_compression": True,
+            "kvcache_compression_kwargs": {"compression_ratio": 0.6,
+                                           "pos_embed_reforge": True},
+            "visual_compression": True,
+            "visual_compression_kwargs": vc_kwargs,
+        }}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    ids1, patches, grid = make_video_request(cfg, rng, grid_t=4, prompt_len=5)
+    # a second question about the SAME video: same video span, new prompt
+    n_vid = int(np.sum(ids1 == cfg.video_token_id))
+    vstart = int(np.where(ids1 == cfg.video_token_id)[0][0])
+    ids2 = np.concatenate([
+        ids1[: vstart + n_vid + 1],
+        rng.integers(10, 500, size=8).astype(np.int64),
+    ])
+    feats = engine.encode_video(patches, grid)
+    for ids in (ids1, ids2):
+        inline = engine.generate(ids, patches, grid, max_new_tokens=6)
+        reused = engine.generate(ids, video_features=feats, max_new_tokens=6)
+        np.testing.assert_array_equal(reused.tokens, inline.tokens)
+        assert reused.cache_len == inline.cache_len

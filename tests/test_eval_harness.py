@@ -190,3 +190,101 @@ def test_eval_harness_batched_matches_serial(fake_benchmark, tmp_path):
     done_batch = run_eval(engine, processor, dataset, rt_batch,
                           rank=0, world=1)
     assert done_batch == done_serial
+
+
+@pytest.fixture()
+def shared_video_benchmark(tmp_path):
+    """3 videos, (3, 2, 1) questions each — multiple questions per video is
+    the real benchmark shape (VideoMME asks 3 per video)."""
+    rng = np.random.default_rng(5)
+    annos = []
+    for v, n_q in enumerate((3, 2, 1)):
+        vdir = tmp_path / f"vid{v}"
+        os.makedirs(vdir)
+        base = rng.integers(0, 255, size=(56, 84, 3), dtype=np.uint8)
+        for i in range(12):
+            Image.fromarray(np.roll(base, v * 7 + i * 3, axis=1)).save(
+                vdir / f"{i:06d}.jpg"
+            )
+        for q in range(n_q):
+            annos.append({
+                "messages": [
+                    {"role": "user",
+                     "content": f"<video>Question {v}.{q}? A. x B. y"},
+                    {"role": "assistant", "content": "AB"[q % 2]},
+                ],
+                "videos": [str(vdir)],
+                "meta": json.dumps({
+                    "task_type": "t1", "domain": "d",
+                    "duration": ["short", "medium", "long"][v],
+                    "question": f"Question {v}.{q}?",
+                }),
+            })
+    anno_file = tmp_path / "anno.json"
+    anno_file.write_text(json.dumps(annos))
+    return str(anno_file)
+
+
+@pytest.mark.parametrize("eval_batch_size", [1, 2])
+def test_eval_reuse_video_features(shared_video_benchmark, tmp_path,
+                                   monkeypatch, eval_batch_size):
+    """reuse_video_features: one vision encode per VIDEO (not per question),
+    round-robin sharding BY VIDEO, answers identical to the per-sample
+    path."""
+    cfg = TINY_TEST_CONFIG
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+
+    def build_rt(out, reuse):
+        return RetakeConfig.from_dict({
+            "dataset_name": "videomme", "max_new_tokens": 4,
+            "eval_batch_size": eval_batch_size,
+            "output_dir": str(tmp_path / out),
+            "reuse_video_features": reuse,
+            "longvideo_kwargs": {"chunked_prefill_frames": 4,
+                                 "frame_chunk_size": 4},
+        })
+
+    processor = Qwen2VLProcessor(
+        StubTokenizer(),
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        video_token_id=cfg.video_token_id,
+        patch_size=cfg.vision.patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        min_pixels=1,
+    )
+    dataset = BaseDataset(
+        shared_video_benchmark,
+        processor_kwargs=dict(video_fps=4, video_maxlen=8,
+                              image_resolution=84,
+                              video_frame_extraction_fps=2),
+    )
+
+    rt_base = build_rt("base", False)
+    engine = Qwen2VLEngine(cfg, params, rt_base)
+    base0 = run_eval(engine, processor, dataset, rt_base, rank=0, world=1)
+
+    n_encodes = 0
+    orig = Qwen2VLEngine.encode_video
+
+    def counting(self, *a, **kw):
+        nonlocal n_encodes
+        n_encodes += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Qwen2VLEngine, "encode_video", counting)
+    rt = build_rt("reuse", True)
+    # two "ranks": videos (not samples) round-robin — rank 0 gets videos
+    # 0 and 2 (questions 0,1,2,5), rank 1 gets video 1 (questions 3,4)
+    done0 = run_eval(engine, processor, dataset, rt, rank=0, world=2)
+    done1 = run_eval(engine, processor, dataset, rt, rank=1, world=2)
+    assert sorted(done0) == [0, 1, 2, 5] and sorted(done1) == [3, 4]
+    assert n_encodes == 3  # one per video, not one per question
+    merged = {**done0, **done1}
+    assert merged == base0
+
+    # resume: a second pass re-encodes nothing and re-runs nothing
+    n_encodes = 0
+    done0b = run_eval(None, processor, dataset, rt, rank=0, world=2)
+    assert done0b == done0 and n_encodes == 0

@@ -310,3 +310,35 @@ def test_patchify_indivisible_geometry_matches_conv(rng):
         want = want.flatten(2).transpose(1, 2).numpy()  # [2, 9, 8]
     got = np.asarray(patches) @ w.reshape(8, -1).T
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_llava_video_features_reuse_matches_inline(tiny, rng):
+    """encode_video artifact reuse (engine.VideoFeatures): token-exact vs
+    the inline SigLIP+DPSelect+projector path, across two questions on the
+    same video, including the tgt != t placeholder-truncation path."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {
+            "chunked_prefill_frames": 2, "frame_chunk_size": 4,
+            "visual_compression": True,
+            "visual_compression_kwargs": {"compression_ratio": 0.5,
+                                          "return_keyframe_mask": True},
+            "kvcache_compression": True,
+            "kvcache_compression_kwargs": {
+                "dynamic_compression_ratio": True,
+                "compression_method": "pivotkv",
+                "pos_embed_reforge": True, "max_input_length": 16,
+            },
+        }}
+    )
+    engine = LlavaOnevisionEngine(cfg, params, rt)
+    ids1, vid = make_request(cfg, rng, frames=8)
+    ids2 = np.concatenate(
+        [ids1[:-6], rng.integers(10, 500, size=9).astype(np.int64)]
+    )
+    feats = engine.encode_video(vid)
+    for ids in (ids1, ids2):
+        inline = engine.generate(ids, vid, max_new_tokens=4)
+        reused = engine.generate(ids, video_features=feats, max_new_tokens=4)
+        np.testing.assert_array_equal(reused.tokens, inline.tokens)
+        assert reused.cache_len == inline.cache_len
