@@ -106,14 +106,28 @@ def main():
 
     from retake_tpu.data.scorers import trim_answer
 
+    # all three golden questions share the video: encode the vision stage
+    # once and reuse the artifact (engine.VideoFeatures) — token-identical
+    # to the reference's per-question recompute (tests/test_engine.py),
+    # questions 2 and 3 skip the whole ViT+DPSelect stage
+    features = grid = None
     answers = []
     for question, expected in zip(DEMO_QUESTIONS, EXPECTED_ANSWERS):
-        inputs = processor(question, frames)
+        if features is None:
+            inputs = processor(question, frames)
+            grid = inputs["video_grid_thw"]
+            t_enc = time.perf_counter()
+            features = engine.encode_video(
+                inputs["pixel_values_videos"], grid
+            )
+            print(f"[vision encoded once: "
+                  f"{time.perf_counter() - t_enc:.1f}s, reused below]")
+        else:
+            inputs = processor(question, video_grid=grid[0])
         t0 = time.perf_counter()
         result = engine.generate(
             inputs["input_ids"],
-            inputs["pixel_values_videos"],
-            inputs["video_grid_thw"],
+            video_features=features,
             max_new_tokens=rt.max_new_tokens,
         )
         dt = time.perf_counter() - t0

@@ -339,6 +339,118 @@ def _decode_loop(
 @partial(
     jax.jit,
     donate_argnames=("cache",),
+    static_argnames=(
+        "cfg", "max_new", "ngram", "draft", "reforge", "attn_impl",
+        "attn_budget",
+    ),
+)
+def _spec_decode_loop(
+    params, cfg: Qwen2VLConfig, cache, first_token, pos_base,
+    prompt_tail,  # [POOL_PROMPT] int32, left-padded with -1
+    max_new: int, ngram: int, draft: int,
+    reforge: bool, attn_impl: str, attn_budget: int | None = None,
+):
+    """Prompt-lookup speculative decode (greedy only; config spec_decode).
+
+    Training-free self-speculation (prompt-lookup / n-gram decoding): each
+    step matches the trailing ``ngram`` tokens of [prompt tail | generated]
+    against earlier occurrences in the same stream, proposes the ``draft``
+    tokens that followed the latest match, and verifies ALL of them in one
+    s=draft+1 chunk step. Decode is HBM-bound on weight reads, so the
+    verify chunk costs about one s=1 step — every accepted proposal is a
+    nearly-free token. Long-form answers that quote the prompt (MLVU
+    summarization, option restating) accept multi-token runs; a no-match
+    step degenerates to vanilla decode (1 token/step).
+
+    Greedy-token-exact in exact arithmetic: nxt_j is the argmax given a
+    prefix that acceptance has already proven equals the vanilla greedy
+    prefix. The verify chunk reduces attention/matmuls in a different
+    order than the s=1 loop, so tokens may differ within fp ulps (same
+    caveat as the xla-vs-pallas decode impls). Rejected proposals cost
+    nothing persistent: append_blocks wrote their K/V beyond the rolled-
+    back ``length``, and the next chunk's dynamic_update_slice at the new
+    length overwrites them before anything can attend to them.
+
+    Returns (tokens [max_new + draft] — EOS-padded past the stream like
+    the early-stop loop; the host trims to max_new and at EOS, cache).
+    """
+    k1 = draft + 1
+    p0 = prompt_tail.shape[0]
+    pool_len = p0 + 1 + max_new + k1
+    eos = jnp.int32(cfg.eos_token_id)
+    pool0 = jnp.full((pool_len,), jnp.int32(-1))
+    pool0 = jax.lax.dynamic_update_slice(pool0, prompt_tail, (0,))
+    pool0 = pool0.at[p0].set(first_token.astype(jnp.int32))
+    buf0 = jnp.full((max_new + k1,), eos)
+    win_starts = jnp.arange(pool_len - ngram, dtype=jnp.int32)
+    win_idx = win_starts[:, None] + jnp.arange(ngram, dtype=jnp.int32)
+    idx_k1 = jnp.arange(k1, dtype=jnp.int32)
+
+    def cond(c):
+        m, n_it, cur, done, cache_, pool, buf = c
+        return (m < max_new) & ~done
+
+    def body(c):
+        m, n_it, cur, done, cache_, pool, buf = c
+        cur_len = p0 + 1 + m  # valid pool prefix
+        suffix = jax.lax.dynamic_slice(pool, (cur_len - ngram,), (ngram,))
+        ok = jnp.all(pool[win_idx] == suffix[None, :], axis=-1) & (
+            win_starts < cur_len - ngram  # strictly earlier (no self-match)
+        )
+        last = jnp.max(jnp.where(ok, win_starts, -1))
+        # proposals = what followed the latest match (junk when last < 0 or
+        # the slice reads past cur_len — verification rejects junk for free)
+        prop = jax.lax.dynamic_slice(
+            pool, (jnp.maximum(last, 0) + ngram,), (draft,)
+        )
+        chunk = jnp.concatenate([cur[None].astype(jnp.int32), prop])
+        emb = text.embed(params, chunk)
+        pos3 = jnp.broadcast_to(
+            pos_base + m + idx_k1, (3, k1)
+        ).astype(jnp.int32)
+        off = cache_.length
+        hidden, cache_ = text.decoder_chunk(
+            params, cfg, cache_, emb, pos3, jnp.int32(k1),
+            jnp.zeros(k1, bool), jnp.int32(k1),
+            compress=False, reforge=reforge, attn_impl=attn_impl,
+            attn_budget=attn_budget,
+        )
+        nxt = jnp.argmax(
+            text.final_logits_batch(params, cfg, hidden), axis=-1
+        ).astype(jnp.int32)  # [k1] greedy verdicts
+        # longest prefix where the proposal agrees with greedy
+        a_acc = jnp.sum(
+            jnp.cumprod((prop == nxt[:draft]).astype(jnp.int32))
+        )
+        cand = idx_k1 <= a_acc  # emit candidates nxt[0..a_acc]
+        is_eos = (nxt == eos) & cand
+        any_eos = jnp.any(is_eos)
+        emit_n = jnp.where(any_eos, jnp.argmax(is_eos) + 1, a_acc + 1)
+        emit_vec = jnp.where(idx_k1 < emit_n, nxt, eos)
+        buf = jax.lax.dynamic_update_slice(buf, emit_vec, (m,))
+        pool = jax.lax.dynamic_update_slice(pool, emit_vec, (cur_len,))
+        # roll back: keep K/V only for the emit_n verified input tokens
+        cache_ = dataclasses.replace(cache_, length=off + emit_n)
+        cur = nxt[emit_n - 1]
+        return (m + emit_n, n_it + 1, cur, any_eos, cache_, pool, buf)
+
+    first_token = first_token.astype(jnp.int32)
+    done0 = first_token == cfg.eos_token_id
+    (m, n_it, _, _, cache, _, tokens) = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.int32(0), first_token, done0, cache, pool0, buf0),
+    )
+    # n_it = verify steps run, m = tokens emitted: m / n_it is the measured
+    # speculation speedup factor (1.0 = no proposals ever accepted)
+    return tokens, cache, m, n_it
+
+
+POOL_PROMPT = 256  # prompt-tail tokens the spec-decode matcher can see
+
+
+@partial(
+    jax.jit,
+    donate_argnames=("cache",),
     static_argnames=("cfg", "chunk_len", "compress", "reforge", "attn_impl", "attn_budget", "act_quant"),
 )
 def _video_segment_scan(
@@ -1063,7 +1175,11 @@ def prefill_and_decode(
                 max_extent = max(max_extent, cache_len + ct + p_len)
                 cache_len += keep
     final_len = cache_len
-    needed = max(max_extent, final_len + max_new_tokens)
+    # spec decode writes (then rolls back) up to spec_draft KV entries past
+    # the accepted stream — budget/bucket need that headroom
+    spec_decode = bool(getattr(rt, "spec_decode", False)) and not rt.do_sample
+    spec_draft = int(getattr(rt, "spec_draft", 8)) if spec_decode else 0
+    needed = max(max_extent, final_len + max_new_tokens + spec_draft)
     budget = math.ceil(needed / BUDGET_BUCKET) * BUDGET_BUCKET
 
     # 4. device inputs
@@ -1256,15 +1372,35 @@ def prefill_and_decode(
     out_tokens = [token_host]
     if max_new_tokens > 1 and token_host != cfg.eos_token_id:
         with timer.stage("decode"):
-            tokens, kv = _decode_loop(
-                params, cfg, kv, token,
-                jnp.int32(decode_pos_base), max_new_tokens - 1,
-                reforge, attn_impl,
-                min(attn_bucket(final_len + max_new_tokens), budget),
-                sampling, rng_loop,
-                early_stop=early_stop_decode,
-            )
-            tokens = np.asarray(tokens)
+            if spec_decode:
+                # prompt-lookup speculation (greedy only): match against
+                # the last POOL_PROMPT prompt ids + everything generated
+                tail = np.full(POOL_PROMPT, -1, np.int32)
+                t = ids[-POOL_PROMPT:].astype(np.int32)
+                tail[POOL_PROMPT - len(t):] = t
+                tokens, kv, n_emit, n_steps = _spec_decode_loop(
+                    params, cfg, kv, token, jnp.int32(decode_pos_base),
+                    jnp.asarray(tail),
+                    max_new_tokens - 1,
+                    int(getattr(rt, "spec_ngram", 3)), spec_draft,
+                    reforge, attn_impl,
+                    min(attn_bucket(final_len + max_new_tokens + spec_draft),
+                        budget),
+                )
+                tokens = np.asarray(tokens)[: max_new_tokens - 1]
+                timer.totals["spec_tokens_per_step"] = round(
+                    int(n_emit) / max(int(n_steps), 1), 3
+                )
+            else:
+                tokens, kv = _decode_loop(
+                    params, cfg, kv, token,
+                    jnp.int32(decode_pos_base), max_new_tokens - 1,
+                    reforge, attn_impl,
+                    min(attn_bucket(final_len + max_new_tokens), budget),
+                    sampling, rng_loop,
+                    early_stop=early_stop_decode,
+                )
+                tokens = np.asarray(tokens)
         eos = np.flatnonzero(tokens == cfg.eos_token_id)
         end = (eos[0] + 1) if len(eos) else len(tokens)
         out_tokens.extend(tokens[:end].tolist())

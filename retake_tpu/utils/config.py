@@ -89,6 +89,20 @@ class RetakeConfig:
     # ~max_new/answer_len of the decode time. Opt-in until the while_loop
     # per-step cost is measured on-chip vs the scan.
     decode_early_stop: bool = False
+    # TPU-native extension: prompt-lookup speculative decoding (greedy
+    # only). Each decode step matches the trailing spec_ngram tokens of
+    # [prompt tail | generated] against earlier occurrences, proposes the
+    # spec_draft tokens that followed the latest match, and verifies them
+    # all in ONE s=draft+1 step (decode is HBM-bound on weight reads, so
+    # the verify step costs ~one s=1 step; accepted proposals are free
+    # tokens). Training-free and greedy-deterministic; tokens can differ
+    # from the s=1 loop only within fp reduction-order ulps (more readily
+    # with kv_cache_dtype: int8, whose coarser logits flip near-ties; the
+    # stream stays self-consistent greedy either way). Sequential
+    # generate only (batched decode / serving keep the s=1 loops).
+    spec_decode: bool = False
+    spec_ngram: int = 3
+    spec_draft: int = 8
     # TPU-native extension: compute the vision tower + DPSelect ONCE per
     # video and reuse the artifact (engine.encode_video -> VideoFeatures)
     # for every question about that video. The eval benchmarks ask ~3
@@ -117,6 +131,9 @@ class RetakeConfig:
             "eval_batch_size",
             "decode_early_stop",
             "reuse_video_features",
+            "spec_decode",
+            "spec_ngram",
+            "spec_draft",
             "dataset_name",
             "anno_file",
             "dataloader_num_workers",
@@ -144,6 +161,11 @@ class RetakeConfig:
             raise ValueError(
                 f"kv_cache_dtype={kwargs['kv_cache_dtype']!r}: expected "
                 "null | int8"
+            )
+        if kwargs.get("spec_decode") and kwargs.get("do_sample"):
+            raise ValueError(
+                "spec_decode is greedy-only (verification compares against "
+                "argmax); disable do_sample or spec_decode"
             )
         if kwargs.get("attn_implementation") in (
             "flash_attention_2",

@@ -659,3 +659,50 @@ def test_video_features_reuse_matches_inline(tiny, rng, vc_kwargs):
         reused = engine.generate(ids, video_features=feats, max_new_tokens=6)
         np.testing.assert_array_equal(reused.tokens, inline.tokens)
         assert reused.cache_len == inline.cache_len
+
+
+def test_spec_decode_matches_vanilla(tiny, rng):
+    """Prompt-lookup speculative decoding (config spec_decode): greedy
+    tokens identical to the s=1 decode loop — including multi-token
+    acceptance runs (random tiny-model greedy enters cycles, which the
+    n-gram matcher catches), cache-length rollback of rejected proposals,
+    and EOS inside an accepted run."""
+    import dataclasses
+
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2,
+                              "kvcache_compression": True,
+                              "kvcache_compression_kwargs": {
+                                  "compression_ratio": 0.6,
+                                  "pos_embed_reforge": True}}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    engine_s = Qwen2VLEngine(
+        cfg, params, dataclasses.replace(rt, spec_decode=True)
+    )
+    accepted_any = False
+    for seed in (4, 5):
+        r = np.random.default_rng(seed)
+        ids, patches, grid = make_video_request(cfg, r, grid_t=4,
+                                                prompt_len=5)
+        a = engine.generate(ids, patches, grid, max_new_tokens=33)
+        b = engine_s.generate(ids, patches, grid, max_new_tokens=33)
+        np.testing.assert_array_equal(b.tokens, a.tokens)
+        accepted_any |= (b.stages or {}).get(
+            "spec_tokens_per_step", 1.0) > 1.0
+    # at least one of the seeds must exercise real multi-token acceptance
+    # (deterministic: fixed params seed + fixed request seeds)
+    assert accepted_any
+
+    # EOS early stop: rebind eos to a token the stream emits
+    eos2 = int(a.tokens[5])
+    cfg2 = dataclasses.replace(cfg, eos_token_id=eos2)
+    e2 = Qwen2VLEngine(cfg2, params, rt)
+    e2s = Qwen2VLEngine(cfg2, params,
+                        dataclasses.replace(rt, spec_decode=True))
+    x = e2.generate(ids, patches, grid, max_new_tokens=33)
+    y = e2s.generate(ids, patches, grid, max_new_tokens=33)
+    np.testing.assert_array_equal(y.tokens, x.tokens)
+    assert len(x.tokens) < 33
