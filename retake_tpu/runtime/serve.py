@@ -463,10 +463,45 @@ class ContinuousServer:
             "arrival_times must be sorted"
         )
         results: List[Optional[ServeResult]] = [None] * n
-        slot_req: Dict[int, int] = {}  # slot -> request index
+        state = {"next": 0}
+
+        def source(now, idle):
+            i = state["next"]
+            if i >= n:
+                return "end", None
+            # block for the next arrival only when the server is idle
+            if arrivals[i] > now():
+                if not idle:
+                    return "wait", None
+                time.sleep(arrivals[i] - now())
+            state["next"] = i + 1
+            return "req", (requests[i], i, on_tokens, arrivals[i])
+
+        self._serve_loop(source, lambda res: results.__setitem__(
+            res.request_id, res))
+        assert all(r is not None for r in results)
+        return results
+
+    def start_online(self) -> "OnlineHandle":
+        """Online mode: a worker thread runs the serving loop; callers
+        ``submit()`` requests from any thread and get a Future[ServeResult]
+        back (optionally with a per-request ``on_tokens`` streaming
+        callback — same contract as ``run``, including cancel-on-False).
+        ``close()`` stops admission, drains in-flight requests, and joins
+        the worker. All device work stays on the worker thread."""
+        return OnlineHandle(self)
+
+    def _serve_loop(self, source, emit_result):
+        """Shared serving loop. ``source(now, idle)`` returns
+        ("req", (req_dict, request_id, on_tokens, arrival_s)) to admit,
+        ("wait", None) when nothing is available right now, or
+        ("end", None) once closed and empty (the loop then exits when the
+        last in-flight request drains). ``emit_result(ServeResult)`` is
+        called exactly once per admitted request."""
+        slot_req: Dict[int, int] = {}  # slot -> request id
         slot_tokens: Dict[int, list] = {}
         slot_meta: Dict[int, dict] = {}
-        next_req = 0
+        ended = False
         t0 = time.perf_counter()
         now = lambda: time.perf_counter() - t0  # noqa: E731
 
@@ -474,18 +509,19 @@ class ContinuousServer:
             return [s for s in range(self.b) if s not in slot_req]
 
         def admit_ready():
-            nonlocal next_req
-            while next_req < n:
+            nonlocal ended
+            while not ended:
                 drain_staged()  # may free slots finished in blind segments
                 if not free_slots():
                     return
-                # block for the next arrival only when the server is idle
-                if arrivals[next_req] > now():
-                    if slot_req:
-                        return
-                    time.sleep(arrivals[next_req] - now())
+                kind, payload = source(now, idle=not slot_req)
+                if kind == "end":
+                    ended = True
+                    return
+                if kind == "wait":
+                    return
+                req, rid, cb, arrival = payload
                 t_pf = now()
-                req = requests[next_req]
                 # per-request token budget: a request may carry its own
                 # max_new_tokens (server default otherwise). The engine
                 # sizes the request's attention bucket from it, and the
@@ -506,34 +542,33 @@ class ContinuousServer:
                 if not hasattr(self, "k_all"):
                     self._init_buffers(st)
                 slot = free_slots()[0]
-                _sdbg("admit req", next_req, "slot", slot, "f=", self.f_global)
-                self._admit(slot, st, next_req)
+                _sdbg("admit req", rid, "slot", slot, "f=", self.f_global)
+                self._admit(slot, st, rid)
                 self.slot_max[slot] = req_max
-                slot_req[slot] = next_req
+                slot_req[slot] = rid
                 slot_tokens[slot] = [st.first_token_host]
                 slot_meta[slot] = dict(
-                    arrival=arrivals[next_req], prefill_start=t_pf,
-                    first_token=now(),
+                    arrival=arrival, prefill_start=t_pf,
+                    first_token=now(), on_tokens=cb,
                 )
                 ret = None
-                if on_tokens is not None:
-                    ret = on_tokens(next_req, [int(st.first_token_host)])
+                if cb is not None:
+                    ret = cb(rid, [int(st.first_token_host)])
                 if self.done[slot]:  # EOS at first token: finish immediately
                     _finish(slot)  # (completion wins over a same-call cancel)
                 elif ret is False:  # cancelled at first token
                     _finish(slot, cancelled=True)
-                next_req += 1
 
         def _finish(slot, cancelled=False):
             i = slot_req.pop(slot)
             m = slot_meta.pop(slot)
-            results[i] = ServeResult(
+            emit_result(ServeResult(
                 request_id=i,
                 tokens=np.asarray(slot_tokens.pop(slot)),
                 arrival_s=m["arrival"], prefill_start_s=m["prefill_start"],
                 first_token_s=m["first_token"], finish_s=now(),
                 cancelled=cancelled,
-            )
+            ))
             self.done[slot] = True
             self.final_len[slot] = 0
             self.dec_start[slot] = self.p_bucket + self.f_global
@@ -552,6 +587,7 @@ class ContinuousServer:
                     col = toks[:, slot]
                     buf = slot_tokens[slot]
                     req_id = slot_req[slot]
+                    cb = slot_meta[slot]["on_tokens"]
                     room = int(self.slot_max[slot]) - len(buf)
                     if room <= 0:
                         _finish(slot)
@@ -565,8 +601,8 @@ class ContinuousServer:
                         len(buf) >= int(self.slot_max[slot])
                     )
                     ret = None
-                    if on_tokens is not None and len(col):
-                        ret = on_tokens(req_id, col.tolist())
+                    if cb is not None and len(col):
+                        ret = cb(req_id, col.tolist())
                     if finished:
                         # completion wins over a same-chunk disconnect: the
                         # full stream was delivered, so the result is a
@@ -578,7 +614,7 @@ class ContinuousServer:
         self._slot_req = slot_req  # the prefill-dispatch hook reads these
         self._drain = drain_staged
         try:
-            while next_req < n or slot_req:
+            while not ended or slot_req:
                 admit_ready()
                 if not slot_req:
                     continue
@@ -589,5 +625,84 @@ class ContinuousServer:
         finally:
             self._slot_req = None
             self._drain = None
-        assert all(r is not None for r in results)
-        return results
+
+
+class OnlineHandle:
+    """Dynamic-submission front of a ContinuousServer (start_online).
+
+    ``submit(request, on_tokens=None) -> Future[ServeResult]`` from any
+    thread; the serving loop runs on ONE worker thread (all jax dispatch
+    stays there). ``close()`` stops admission, waits for in-flight
+    requests to drain, and joins the worker. Context-manager friendly.
+    """
+
+    def __init__(self, server: ContinuousServer):
+        import queue as _queue
+        import threading
+
+        self.server = server
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._futures: Dict[int, object] = {}
+        self._next_id = 0
+        self._lock = threading.Lock()
+        self._closed = False
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: dict, on_tokens=None):
+        from concurrent.futures import Future
+
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("OnlineHandle is closed")
+            rid = self._next_id
+            self._next_id += 1
+            fut = Future()
+            self._futures[rid] = fut
+        self._q.put((request, rid, on_tokens, time.perf_counter()))
+        return fut
+
+    def close(self):
+        with self._lock:
+            if self._closed:
+                self._thread.join()
+                return
+            self._closed = True
+        self._q.put(None)  # wake the worker's blocking get
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _work(self):
+        import queue as _queue
+
+        def source(now, idle):
+            try:
+                # busy: poll; idle: block until a request or the close
+                # sentinel arrives (no device work is pending either way)
+                item = self._q.get(block=idle)
+            except _queue.Empty:
+                return "wait", None
+            if item is None:  # close(): stop admitting, drain in-flight
+                return "end", None
+            req, rid, cb, t_submit = item
+            # submit wall-time on the loop's clock (t0 = perf_counter - now)
+            arrival = t_submit - time.perf_counter() + now()
+            return "req", (req, rid, cb, arrival)
+
+        def emit(res: ServeResult):
+            self._futures.pop(res.request_id).set_result(res)
+
+        try:
+            self.server._serve_loop(source, emit)
+        except BaseException as e:  # worker died: fail pending futures
+            with self._lock:
+                futs, self._futures = self._futures, {}
+            for f in futs.values():
+                if not f.done():
+                    f.set_exception(e)
+            raise

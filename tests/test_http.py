@@ -1,0 +1,118 @@
+"""HTTP serving front-end (runtime/http_server.py): health, blocking
+generate, SSE streaming — end-to-end through a real socket against the
+tiny random-weight engine (frames loaded from a real frame dir)."""
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+import jax.numpy as jnp
+
+from retake_tpu.data.processor import Qwen2VLProcessor
+from retake_tpu.models.qwen2_vl import params as params_lib
+from retake_tpu.runtime.engine import Qwen2VLEngine
+from retake_tpu.runtime.http_server import RetakeHTTPServer
+from retake_tpu.utils.config import RetakeConfig
+
+from tests.test_serve import tiny  # noqa: F401  (module-scope fixture)
+
+
+class StubTokenizer:
+    def encode(self, s):
+        return [20 + (b % 400) for b in s.encode()][:64]
+
+    def decode(self, ids, **kw):
+        return " ".join(str(int(i)) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def frame_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_video")
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, size=(56, 84, 3), dtype=np.uint8)
+    for i in range(8):
+        Image.fromarray(np.roll(base, i * 5, axis=1)).save(
+            root / f"{i:06d}.jpg"
+        )
+    return str(root)
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_http_generate_and_stream(tiny, frame_dir):  # noqa: F811
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"max_new_tokens": 8, "max_num_frames": 8, "sample_fps": 2,
+         "longsize_resolution": 84,
+         "longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    processor = Qwen2VLProcessor(
+        StubTokenizer(),
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        video_token_id=cfg.video_token_id,
+        patch_size=cfg.vision.patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        min_pixels=1,
+    )
+    with RetakeHTTPServer(
+        engine, processor, rt, port=0,
+        batch_slots=2, segment_steps=3, max_new_tokens=8, gap_capacity=64,
+    ) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        # health
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["batch_slots"] == 2
+
+        # oracle: the same request through the library
+        from retake_tpu.data.video import fetch_video
+
+        frames = fetch_video(frame_dir, 8, 2, 84, extraction_fps=2.0)
+        inputs = processor("What happens? A. x B. y", frames)
+        expected = engine.generate(
+            inputs["input_ids"], inputs["pixel_values_videos"],
+            inputs["video_grid_thw"], max_new_tokens=8,
+        )
+
+        body = {"question": "What happens? A. x B. y",
+                "video_path": frame_dir, "extraction_fps": 2}
+        with _post(base + "/v1/generate", body) as r:
+            out = json.loads(r.read())
+        assert out["tokens"] == [int(t) for t in expected.tokens]
+        assert not out["cancelled"] and out["latency_s"] >= out["ttft_s"]
+
+        # SSE streaming: concatenated chunk tokens == the full stream
+        with _post(base + "/v1/generate", dict(body, stream=True)) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            events = [json.loads(line[len(b"data: "):])
+                      for line in r.read().split(b"\n\n")
+                      if line.startswith(b"data: ")]
+        streamed = [t for e in events if not e.get("done")
+                    for t in e["tokens"]]
+        assert streamed == [int(t) for t in expected.tokens]
+        assert events[-1]["done"] and not events[-1]["cancelled"]
+
+        # malformed request: clean 400, server stays up
+        try:
+            _post(base + "/v1/generate", {"video_path": frame_dir})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            assert json.loads(r.read())["ok"]

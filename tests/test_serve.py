@@ -555,3 +555,64 @@ def test_compaction_preserves_attention(rng):
         )
         np.testing.assert_allclose(np.asarray(post), np.asarray(pre),
                                    atol=3e-6, rtol=3e-6)
+
+
+def test_online_server_dynamic_submission(tiny, rng):
+    """start_online: dynamic submit() from the caller thread, futures
+    resolve with token streams identical to solo generate; later
+    submissions admitted while earlier ones decode; close() drains."""
+    engine, reqs = _build(tiny, rng, n_reqs=4)
+    max_new = 9
+    seq = [engine.generate(**r, max_new_tokens=max_new) for r in reqs]
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=max_new,
+        gap_capacity=6,
+    )
+    chunks = {}
+
+    def on_tokens(rid, toks):
+        chunks.setdefault(rid, []).extend(toks)
+
+    with server.start_online() as handle:
+        futs = [handle.submit(r, on_tokens=on_tokens) for r in reqs[:2]]
+        # wait for the first to finish, then submit the rest dynamically
+        r0 = futs[0].result(timeout=120)
+        futs += [handle.submit(r, on_tokens=on_tokens) for r in reqs[2:]]
+        results = [r0] + [f.result(timeout=120) for f in futs[1:]]
+    for rid, (res, s) in enumerate(zip(results, seq)):
+        assert res.request_id == rid and not res.cancelled
+        np.testing.assert_array_equal(res.tokens, s.tokens)
+        np.testing.assert_array_equal(np.asarray(chunks[rid]), s.tokens)
+        assert res.arrival_s <= res.prefill_start_s <= res.first_token_s
+    # closed: further submits refuse
+    with pytest.raises(RuntimeError):
+        handle.submit(reqs[0])
+
+
+def test_online_server_cancel_and_close_idle(tiny, rng):
+    """A request whose on_tokens returns False mid-stream cancels and
+    frees the lane; closing an idle server joins cleanly."""
+    engine, reqs = _build(tiny, rng, n_reqs=2)
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=2, max_new_tokens=12,
+        gap_capacity=64,
+    )
+    seen = []
+
+    def cancel_after_first_chunk(rid, toks):
+        seen.extend(toks)
+        return len(seen) <= 1  # False once decode chunks start
+
+    handle = server.start_online()
+    try:
+        fut = handle.submit(reqs[0], on_tokens=cancel_after_first_chunk)
+        res = fut.result(timeout=120)
+        assert res.cancelled and len(res.tokens) < 12
+        # lane is reusable: a normal request still completes
+        res2 = handle.submit(reqs[1]).result(timeout=120)
+        assert not res2.cancelled
+        np.testing.assert_array_equal(
+            res2.tokens, engine.generate(**reqs[1], max_new_tokens=12).tokens
+        )
+    finally:
+        handle.close()
