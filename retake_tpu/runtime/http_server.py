@@ -125,18 +125,37 @@ class RetakeHTTPServer:
 
         question = body["question"]
         req: dict = {}
-        if body.get("video_path"):
+        path = body.get("video_path")
+        feats = None
+        if path and self.server.vision_cache_slots > 0:
+            # peek the worker's vision cache: a hit skips BOTH the host
+            # frame loading (glacial on this 1-core host) and the device
+            # re-encode. The reference (grabbed here) is a strong ref, so
+            # a concurrent eviction cannot strand the request.
+            feats = self.server._vision_cache.get(path)
+        if feats is not None:
+            if feats.grid is not None:  # Qwen2-VL family
+                inputs = self.processor(question, video_grid=feats.grid)
+            else:  # LLaVA family
+                inputs = self.processor(question, num_frames=feats.t)
+            req = {k: v for k, v in inputs.items() if v is not None}
+            req["video_features"] = feats
+            req["video_key"] = path  # LRU bump at admission
+        elif path:
             frames = fetch_video(
-                body["video_path"],
+                path,
                 self.rt.max_num_frames,
                 self.rt.sample_fps,
                 self.rt.longsize_resolution,
                 extraction_fps=float(body.get("extraction_fps", 25.0)),
             )
             inputs = self.processor(question, frames)
+            req = {k: v for k, v in inputs.items() if v is not None}
+            if self.server.vision_cache_slots > 0:
+                req["video_key"] = path
         else:
             inputs = self.processor(question)
-        req = {k: v for k, v in inputs.items() if v is not None}
+            req = {k: v for k, v in inputs.items() if v is not None}
         if body.get("max_new_tokens"):
             req["max_new_tokens"] = int(body["max_new_tokens"])
         return req

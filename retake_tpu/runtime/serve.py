@@ -174,9 +174,20 @@ class ContinuousServer:
         interleave_prefill: bool = True,
         interleave_segments_per_hook: int = 1,
         decode_attn_impl: str = "xla",
+        vision_cache_slots: int = 0,
     ):
         self.engine = engine
         self.cfg = getattr(engine.cfg, "text", engine.cfg)
+        # vision-feature LRU (engine.encode_video artifacts): a request may
+        # carry a ``video_key`` — same key + cached entry = the admission
+        # skips the whole ViT/DPSelect stage (the reference recomputes it
+        # per question; multiple questions about one live video are the
+        # serving analogue of the eval reuse_video_features grouping).
+        # Pixels stay in the request as the miss fallback, so eviction can
+        # never strand a request. 0 = off; each cached video costs its
+        # LLM-space embeddings in HBM (~1 GB at 2B/2048f).
+        self.vision_cache_slots = int(vision_cache_slots)
+        self._vision_cache: Dict[str, object] = {}
         self.b = int(batch_slots)
         self.seg = int(segment_steps)
         self.max_new = int(max_new_tokens or engine.retake.max_new_tokens)
@@ -482,6 +493,37 @@ class ContinuousServer:
         assert all(r is not None for r in results)
         return results
 
+    def _maybe_reuse_vision(self, req: dict) -> dict:
+        """Swap a keyed request's pixels for its cached VideoFeatures (see
+        vision_cache_slots). Runs on the serving-loop thread, which owns
+        all jax dispatch — the encode lands in the same device queue as
+        the admission's prefill."""
+        req = dict(req)
+        key = req.pop("video_key", None)
+        if key is None or self.vision_cache_slots <= 0:
+            return req
+        if req.get("video_features") is not None:
+            # caller pinned the features itself (eviction-proof strong ref,
+            # e.g. the HTTP layer's cache peek) — just bump the LRU
+            feats = req["video_features"]
+            self._vision_cache.pop(key, None)
+            self._vision_cache[key] = feats
+            return req
+        feats = self._vision_cache.pop(key, None)  # pop+reinsert = LRU bump
+        if feats is None and req.get("pixel_values_videos") is not None:
+            feats = self.engine.encode_video(
+                req["pixel_values_videos"], req.get("video_grid_thw")
+            )
+        if feats is None:
+            return req
+        self._vision_cache[key] = feats
+        while len(self._vision_cache) > self.vision_cache_slots:
+            self._vision_cache.pop(next(iter(self._vision_cache)))
+        req.pop("pixel_values_videos", None)
+        req.pop("video_grid_thw", None)
+        req["video_features"] = feats
+        return req
+
     def start_online(self) -> "OnlineHandle":
         """Online mode: a worker thread runs the serving loop; callers
         ``submit()`` requests from any thread and get a Future[ServeResult]
@@ -521,6 +563,7 @@ class ContinuousServer:
                 if kind == "wait":
                     return
                 req, rid, cb, arrival = payload
+                req = self._maybe_reuse_vision(req)
                 t_pf = now()
                 # per-request token budget: a request may carry its own
                 # max_new_tokens (server default otherwise). The engine

@@ -616,3 +616,50 @@ def test_online_server_cancel_and_close_idle(tiny, rng):
         )
     finally:
         handle.close()
+
+
+def test_serve_vision_cache_reuses_encode(tiny, rng, monkeypatch):
+    """vision_cache_slots: requests sharing a video_key encode the vision
+    stage once; tokens stay identical to solo generate; LRU evicts."""
+    from retake_tpu.runtime.engine import Qwen2VLEngine as Eng
+
+    engine, _ = _build(tiny, rng, n_reqs=0)
+    ids1, patches, grid = make_video_request(cfg=engine.cfg, rng=rng,
+                                             grid_t=2, prompt_len=4)
+    ids2, _, _ = make_video_request(cfg=engine.cfg, rng=rng,
+                                    grid_t=2, prompt_len=4)
+    # same video, two different questions (ids2's video span must match)
+    n_vid = int(np.sum(ids1 == engine.cfg.video_token_id))
+    v0 = int(np.where(ids1 == engine.cfg.video_token_id)[0][0])
+    ids2 = np.concatenate([ids1[: v0 + n_vid + 1], ids2[-5:]])
+    reqs = [
+        dict(input_ids=ids1, pixel_values_videos=patches,
+             video_grid_thw=grid, video_key="vidA"),
+        dict(input_ids=ids2, pixel_values_videos=patches,
+             video_grid_thw=grid, video_key="vidA"),
+    ]
+    seq = [engine.generate(ids, patches, grid, max_new_tokens=8)
+           for ids in (ids1, ids2)]
+
+    n_enc = 0
+    orig = Eng.encode_video
+
+    def counting(self, *a, **kw):
+        nonlocal n_enc
+        n_enc += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Eng, "encode_video", counting)
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=8,
+        gap_capacity=64, vision_cache_slots=1,
+    )
+    results = server.run(reqs)
+    assert n_enc == 1  # second request hit the cache
+    for res, s in zip(results, seq):
+        np.testing.assert_array_equal(res.tokens, s.tokens)
+    # a different key evicts (slots=1) and encodes fresh
+    results2 = server.run([dict(reqs[0], video_key="vidB")])
+    assert n_enc == 2
+    np.testing.assert_array_equal(results2[0].tokens, seq[0].tokens)
+    assert "vidA" not in server._vision_cache
