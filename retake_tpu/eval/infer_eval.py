@@ -68,18 +68,34 @@ def _load_engine(model_name, hf_path, rt):
     from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
     from retake_tpu.runtime.engine import Qwen2VLEngine
 
+    from retake_tpu.utils import checkpoint
+
     name = (model_name or rt.model_name).lower().replace("-", "").replace("_", "")
     if name == "qwen2vl":
         cfg = Qwen2VLConfig.from_pretrained(hf_path)
-        params = params_lib.load_safetensors(hf_path, cfg)
-        if rt.quantization in ("int8", "w8a8"):
-            from retake_tpu.ops.quantization import quantize_llm_int8
+        if checkpoint.has_params(hf_path):
+            # pre-quantized pytree (tools/quantize_checkpoint.py): skip the
+            # bf16-sized read and the on-device quantization pass
+            meta = checkpoint.load_meta(hf_path)
+            assert rt.quantization in ("int8", "w8a8"), (
+                f"{hf_path} holds int8 weights but the config requests "
+                f"quantization={rt.quantization!r}"
+            )
+            assert not (rt.quantization == "w8a8"
+                        and not meta.get("vit_int8")), (
+                "w8a8 config needs a checkpoint quantized with --vit"
+            )
+            params = checkpoint.load_params(hf_path)
+        else:
+            params = params_lib.load_safetensors(hf_path, cfg)
+            if rt.quantization in ("int8", "w8a8"):
+                from retake_tpu.ops.quantization import quantize_llm_int8
 
-            params = quantize_llm_int8(params)
-        if rt.quantization == "w8a8":
-            from retake_tpu.ops.quantization import quantize_vit_int8
+                params = quantize_llm_int8(params)
+            if rt.quantization == "w8a8":
+                from retake_tpu.ops.quantization import quantize_vit_int8
 
-            params["visual"] = quantize_vit_int8(params["visual"])
+                params["visual"] = quantize_vit_int8(params["visual"])
         return Qwen2VLEngine(cfg, params, rt)
     if name in ("llavaonevision", "llavavideo"):
         from retake_tpu.runtime.llava_engine import load_llava_engine

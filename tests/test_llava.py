@@ -342,3 +342,32 @@ def test_llava_video_features_reuse_matches_inline(tiny, rng):
         reused = engine.generate(ids, video_features=feats, max_new_tokens=4)
         np.testing.assert_array_equal(reused.tokens, inline.tokens)
         assert reused.cache_len == inline.cache_len
+
+
+def test_llava_spec_decode_matches_vanilla(tiny, rng):
+    """spec_decode through the shared prefill_and_decode core with the
+    LLaVA family (1-D RoPE positions, reforge): tokens identical to the
+    s=1 loop."""
+    import dataclasses
+
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {
+            "chunked_prefill_frames": 2, "frame_chunk_size": 4,
+            "kvcache_compression": True,
+            "kvcache_compression_kwargs": {
+                "dynamic_compression_ratio": True,
+                "compression_method": "pivotkv",
+                "pos_embed_reforge": True, "max_input_length": 16,
+            },
+        }}
+    )
+    engine = LlavaOnevisionEngine(cfg, params, rt)
+    engine_s = LlavaOnevisionEngine(
+        cfg, params, dataclasses.replace(rt, spec_decode=True)
+    )
+    for frames in (4, 8):
+        ids, vid = make_request(cfg, rng, frames=frames)
+        a = engine.generate(ids, vid, max_new_tokens=17)
+        b = engine_s.generate(ids, vid, max_new_tokens=17)
+        np.testing.assert_array_equal(b.tokens, a.tokens)

@@ -329,3 +329,58 @@ def test_flash_chunk_attention_int8_matches_plain(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
     )
+
+
+def test_quantized_checkpoint_save_load_roundtrip(rng, tmp_path):
+    """utils/checkpoint: a quantized pytree saved to disk and reloaded
+    produces byte-identical leaves and token-identical generation (the
+    tools/quantize_checkpoint.py -> engine fast-load path)."""
+    import jax
+
+    from retake_tpu.models.qwen2_vl import params as params_lib
+    from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
+    from retake_tpu.runtime.engine import Qwen2VLEngine
+    from retake_tpu.utils import checkpoint
+    from retake_tpu.utils.config import RetakeConfig
+
+    cfg = TINY_TEST_CONFIG
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+    qparams = quant.quantize_llm_int8(params)
+    out = str(tmp_path / "ckpt")
+    checkpoint.save_params(
+        qparams, out, meta={"model_name": "qwen2_vl", "weights": "int8"}
+    )
+    assert checkpoint.has_params(out)
+    assert checkpoint.load_meta(out)["weights"] == "int8"
+    loaded = checkpoint.load_params(out)
+
+    # every leaf identical (dtype + bytes)
+    flat_a = jax.tree_util.tree_leaves_with_path(qparams)
+    flat_b = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda x: str(x[0])),
+                                  sorted(flat_b, key=lambda x: str(x[0]))):
+        assert str(pa) == str(pb)
+        assert va.dtype == vb.dtype, (pa, va.dtype, vb.dtype)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    n_tok = 2 * 4 * 4 // 4
+    ids = np.array(
+        [10, cfg.vision_start_token_id] + [cfg.video_token_id] * n_tok
+        + [cfg.vision_end_token_id, 11, 12], dtype=np.int64,
+    )
+    patches = rng.normal(
+        size=(2 * 4 * 4, cfg.vision.patch_input_dim)
+    ).astype(np.float32)
+    grid = np.array([[2, 4, 4]])
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    a = Qwen2VLEngine(cfg, qparams, rt).generate(
+        ids, patches, grid, max_new_tokens=4
+    )
+    b = Qwen2VLEngine(cfg, loaded, rt).generate(
+        ids, patches, grid, max_new_tokens=4
+    )
+    np.testing.assert_array_equal(a.tokens, b.tokens)
