@@ -50,8 +50,10 @@ class RetakeHTTPServer:
         rt,
         host: str = "127.0.0.1",
         port: int = 8000,
+        max_queue: Optional[int] = None,  # submit backlog bound (503 past it)
         **server_kwargs,
     ):
+        self.max_queue = max_queue
         self.engine = engine
         self.processor = processor
         self.rt = rt
@@ -62,7 +64,7 @@ class RetakeHTTPServer:
         self.host, self.port = host, port
 
     def start(self):
-        self.handle = self.server.start_online()
+        self.handle = self.server.start_online(max_queue=self.max_queue)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -101,16 +103,28 @@ class RetakeHTTPServer:
                     self.end_headers()
                     self.wfile.write(msg)
                     return
-                if body.get("stream"):
-                    outer._stream(self, req)
-                else:
+                import queue as _queue
+
+                try:
+                    if body.get("stream"):
+                        outer._stream(self, req)
+                        return
                     res = outer.handle.submit(req).result()
-                    out = json.dumps(outer._result_json(res)).encode()
-                    self.send_response(200)
+                except _queue.Full:  # backlog at max_queue: backpressure
+                    msg = json.dumps({"error": "server overloaded"}).encode()
+                    self.send_response(503)
+                    self.send_header("Retry-After", "1")
                     self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(out)))
+                    self.send_header("Content-Length", str(len(msg)))
                     self.end_headers()
-                    self.wfile.write(out)
+                    self.wfile.write(msg)
+                    return
+                out = json.dumps(outer._result_json(res)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._httpd.server_address[1]  # resolve port 0
@@ -158,6 +172,8 @@ class RetakeHTTPServer:
             req = {k: v for k, v in inputs.items() if v is not None}
         if body.get("max_new_tokens"):
             req["max_new_tokens"] = int(body["max_new_tokens"])
+        if body.get("deadline_s"):
+            req["deadline_s"] = float(body["deadline_s"])
         return req
 
     def _result_json(self, res) -> dict:

@@ -524,14 +524,21 @@ class ContinuousServer:
         req["video_features"] = feats
         return req
 
-    def start_online(self) -> "OnlineHandle":
+    def start_online(self, max_queue: Optional[int] = None) -> "OnlineHandle":
         """Online mode: a worker thread runs the serving loop; callers
         ``submit()`` requests from any thread and get a Future[ServeResult]
         back (optionally with a per-request ``on_tokens`` streaming
         callback — same contract as ``run``, including cancel-on-False).
         ``close()`` stops admission, drains in-flight requests, and joins
-        the worker. All device work stays on the worker thread."""
-        return OnlineHandle(self)
+        the worker. All device work stays on the worker thread.
+
+        ``max_queue`` bounds the not-yet-admitted backlog: submit() raises
+        queue.Full beyond it (backpressure; the HTTP layer maps it to 503).
+        A request dict may carry ``deadline_s`` (seconds from submission):
+        expired-in-queue requests are rejected without a prefill, and an
+        in-flight request past its deadline is cancelled at the next
+        harvest."""
+        return OnlineHandle(self, max_queue=max_queue)
 
     def _serve_loop(self, source, emit_result):
         """Shared serving loop. ``source(now, idle)`` returns
@@ -563,6 +570,22 @@ class ContinuousServer:
                 if kind == "wait":
                     return
                 req, rid, cb, arrival = payload
+                req = dict(req)
+                # per-request deadline (seconds from arrival): a request
+                # whose deadline passed while QUEUED is rejected without
+                # spending a prefill on it; in-flight expiry is enforced at
+                # harvest (drain_staged) — the device pipeline itself is
+                # never interrupted (a decode lane costs the same either way)
+                deadline = req.pop("deadline_s", None)
+                deadline = None if deadline is None else (
+                    arrival + float(deadline))
+                if deadline is not None and now() > deadline:
+                    emit_result(ServeResult(
+                        request_id=rid, tokens=np.zeros(0, np.int32),
+                        arrival_s=arrival, prefill_start_s=now(),
+                        first_token_s=now(), finish_s=now(), cancelled=True,
+                    ))
+                    continue
                 req = self._maybe_reuse_vision(req)
                 t_pf = now()
                 # per-request token budget: a request may carry its own
@@ -592,7 +615,7 @@ class ContinuousServer:
                 slot_tokens[slot] = [st.first_token_host]
                 slot_meta[slot] = dict(
                     arrival=arrival, prefill_start=t_pf,
-                    first_token=now(), on_tokens=cb,
+                    first_token=now(), on_tokens=cb, deadline=deadline,
                 )
                 ret = None
                 if cb is not None:
@@ -631,6 +654,10 @@ class ContinuousServer:
                     buf = slot_tokens[slot]
                     req_id = slot_req[slot]
                     cb = slot_meta[slot]["on_tokens"]
+                    dl = slot_meta[slot]["deadline"]
+                    if dl is not None and now() > dl:
+                        _finish(slot, cancelled=True)  # deadline expired
+                        continue
                     room = int(self.slot_max[slot]) - len(buf)
                     if room <= 0:
                         _finish(slot)
@@ -679,11 +706,13 @@ class OnlineHandle:
     requests to drain, and joins the worker. Context-manager friendly.
     """
 
-    def __init__(self, server: ContinuousServer):
+    def __init__(self, server: ContinuousServer,
+                 max_queue: Optional[int] = None):
         import queue as _queue
         import threading
 
         self.server = server
+        self.max_queue = max_queue
         self._q: "_queue.Queue" = _queue.Queue()
         self._futures: Dict[int, object] = {}
         self._next_id = 0
@@ -698,6 +727,12 @@ class OnlineHandle:
         with self._lock:
             if self._closed:
                 raise RuntimeError("OnlineHandle is closed")
+            if self.max_queue is not None and self._q.qsize() >= self.max_queue:
+                import queue as _queue
+
+                raise _queue.Full(
+                    f"serving backlog at max_queue={self.max_queue}"
+                )
             rid = self._next_id
             self._next_id += 1
             fut = Future()

@@ -663,3 +663,52 @@ def test_serve_vision_cache_reuses_encode(tiny, rng, monkeypatch):
     assert n_enc == 2
     np.testing.assert_array_equal(results2[0].tokens, seq[0].tokens)
     assert "vidA" not in server._vision_cache
+
+
+def test_online_deadline_and_max_queue(tiny, rng):
+    """deadline_s: a queued request whose deadline passed is rejected
+    without a prefill; an in-flight request past its deadline cancels at
+    harvest. max_queue: submit() raises queue.Full at the backlog bound."""
+    import queue as queue_lib
+
+    engine, reqs = _build(tiny, rng, n_reqs=3)
+    server = ContinuousServer(
+        engine, batch_slots=1, segment_steps=2, max_new_tokens=24,
+        gap_capacity=64,
+    )
+    import threading
+
+    admitted = threading.Event()
+    with server.start_online(max_queue=1) as handle:
+        # slot busy with a long request (wait for its admission so the
+        # backlog is empty), then fill the backlog with an already-expired
+        # request: the NEXT submit must hit the max_queue bound
+        f0 = handle.submit(dict(reqs[0], max_new_tokens=24),
+                           on_tokens=lambda rid, t: admitted.set())
+        assert admitted.wait(timeout=300)
+        f1 = handle.submit(dict(reqs[1], deadline_s=0.0))
+        with pytest.raises(queue_lib.Full):
+            handle.submit(dict(reqs[2], deadline_s=0.0))
+        r0, r1 = f0.result(timeout=300), f1.result(timeout=300)
+        assert not r0.cancelled and len(r0.tokens) == 24
+        assert r1.cancelled and len(r1.tokens) == 0  # never prefilled
+
+    # in-flight deadline: expires mid-decode, cancels at a harvest with
+    # whatever tokens were delivered by then. The callback sleeps per
+    # harvest so the 200-token stream MUST outlive the deadline regardless
+    # of machine speed; the admission passes (slot idle, dequeue is
+    # immediate), so the cancel exercises the harvest-side expiry branch.
+    import time as time_lib
+
+    server2 = ContinuousServer(
+        engine, batch_slots=1, segment_steps=1, max_new_tokens=200,
+        gap_capacity=512,
+    )
+    with server2.start_online() as h2:
+        h2.submit(dict(reqs[0], max_new_tokens=8)).result(timeout=300)  # warm
+        res = h2.submit(
+            dict(reqs[0], max_new_tokens=200, deadline_s=1.0),
+            on_tokens=lambda rid, toks: time_lib.sleep(0.02),
+        ).result(timeout=300)
+    assert res.cancelled
+    assert 1 <= len(res.tokens) < 200
