@@ -64,6 +64,9 @@ class RetakeHTTPServer:
         self.host, self.port = host, port
 
     def start(self):
+        import time
+
+        self._t_start = time.time()
         self.handle = self.server.start_online(max_queue=self.max_queue)
         outer = self
 
@@ -79,13 +82,23 @@ class RetakeHTTPServer:
                         "batch_slots": outer.server.b,
                         "max_new_tokens": outer.server.max_new,
                     }).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                elif self.path == "/metrics":
+                    # counters are written only by the serving-loop thread;
+                    # this read is a consistent-enough snapshot (ints)
+                    body = json.dumps(dict(
+                        outer.server.stats,
+                        vision_cache_entries=len(outer.server._vision_cache),
+                        uptime_s=round(
+                            __import__("time").time() - outer._t_start, 1),
+                    )).encode()
+                else:
+                    self.send_error(404)
                     return
-                self.send_error(404)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def do_POST(self):
                 if self.path != "/v1/generate":

@@ -188,6 +188,15 @@ class ContinuousServer:
         # LLM-space embeddings in HBM (~1 GB at 2B/2048f).
         self.vision_cache_slots = int(vision_cache_slots)
         self._vision_cache: Dict[str, object] = {}
+        # observability counters (served by the HTTP layer's /metrics);
+        # only the serving-loop thread writes them
+        self.stats: Dict[str, int] = {
+            "requests_admitted": 0, "requests_finished": 0,
+            "requests_cancelled": 0, "requests_rejected_deadline": 0,
+            "tokens_emitted": 0, "segments_dispatched": 0,
+            "compactions": 0, "vision_cache_hits": 0,
+            "vision_cache_misses": 0,
+        }
         self.b = int(batch_slots)
         self.seg = int(segment_steps)
         self.max_new = int(max_new_tokens or engine.retake.max_new_tokens)
@@ -342,6 +351,7 @@ class ContinuousServer:
         self.cur_dev = tokens[-1]
         self.emitted = self.emitted + np.int32(self.seg)
         self.staged.append(tokens)
+        self.stats["segments_dispatched"] += 1
 
     def _counts(self) -> np.ndarray:
         """Gap-region token count per slot = write-pointer distance since
@@ -406,6 +416,7 @@ class ContinuousServer:
             self._drain(keep_last=0 if fin_any else 1)
 
     def _compact(self, counts: np.ndarray):
+        self.stats["compactions"] += 1
         _sdbg("compact f=", self.f_global, "counts=", counts.tolist(),
               "fl=", self.final_len.tolist(), "ds=", self.dec_start.tolist())
         self.k_all, self.v_all, self.ks_all, self.vs_all = _compact_gap(
@@ -505,11 +516,14 @@ class ContinuousServer:
         if req.get("video_features") is not None:
             # caller pinned the features itself (eviction-proof strong ref,
             # e.g. the HTTP layer's cache peek) — just bump the LRU
+            self.stats["vision_cache_hits"] += 1
             feats = req["video_features"]
             self._vision_cache.pop(key, None)
             self._vision_cache[key] = feats
             return req
         feats = self._vision_cache.pop(key, None)  # pop+reinsert = LRU bump
+        self.stats["vision_cache_hits" if feats is not None
+                   else "vision_cache_misses"] += 1
         if feats is None and req.get("pixel_values_videos") is not None:
             feats = self.engine.encode_video(
                 req["pixel_values_videos"], req.get("video_grid_thw")
@@ -580,6 +594,7 @@ class ContinuousServer:
                 deadline = None if deadline is None else (
                     arrival + float(deadline))
                 if deadline is not None and now() > deadline:
+                    self.stats["requests_rejected_deadline"] += 1
                     emit_result(ServeResult(
                         request_id=rid, tokens=np.zeros(0, np.int32),
                         arrival_s=arrival, prefill_start_s=now(),
@@ -612,6 +627,7 @@ class ContinuousServer:
                 self._admit(slot, st, rid)
                 self.slot_max[slot] = req_max
                 slot_req[slot] = rid
+                self.stats["requests_admitted"] += 1
                 slot_tokens[slot] = [st.first_token_host]
                 slot_meta[slot] = dict(
                     arrival=arrival, prefill_start=t_pf,
@@ -628,9 +644,13 @@ class ContinuousServer:
         def _finish(slot, cancelled=False):
             i = slot_req.pop(slot)
             m = slot_meta.pop(slot)
+            toks = slot_tokens.pop(slot)
+            self.stats["requests_cancelled" if cancelled
+                       else "requests_finished"] += 1
+            self.stats["tokens_emitted"] += len(toks)
             emit_result(ServeResult(
                 request_id=i,
-                tokens=np.asarray(slot_tokens.pop(slot)),
+                tokens=np.asarray(toks),
                 arrival_s=m["arrival"], prefill_start_s=m["prefill_start"],
                 first_token_s=m["first_token"], finish_s=now(),
                 cancelled=cancelled,

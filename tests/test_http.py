@@ -167,3 +167,47 @@ def test_http_vision_cache(tiny, frame_dir):  # noqa: F811
             assert out1["tokens"] == out2["tokens"]  # identical question
     finally:
         Eng.encode_video = orig
+
+
+def test_http_metrics(tiny, frame_dir):  # noqa: F811
+    """GET /metrics: serving counters consistent with the work done."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"max_new_tokens": 6, "max_num_frames": 8, "sample_fps": 2,
+         "longsize_resolution": 84,
+         "longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    processor = Qwen2VLProcessor(
+        StubTokenizer(),
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        video_token_id=cfg.video_token_id,
+        patch_size=cfg.vision.patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        min_pixels=1,
+    )
+    with RetakeHTTPServer(
+        engine, processor, rt, port=0,
+        batch_slots=2, segment_steps=3, max_new_tokens=6,
+        gap_capacity=64, vision_cache_slots=1,
+    ) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        body = {"question": "Q? A. x B. y", "video_path": frame_dir,
+                "extraction_fps": 2}
+        with _post(base + "/v1/generate", body) as r:
+            out1 = json.loads(r.read())
+        with _post(base + "/v1/generate", body) as r:
+            json.loads(r.read())
+        with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+            m = json.loads(r.read())
+        assert m["requests_admitted"] == 2
+        assert m["requests_finished"] == 2
+        assert m["requests_cancelled"] == 0
+        assert m["tokens_emitted"] >= 2 * len(out1["tokens"])
+        assert m["vision_cache_misses"] == 1
+        assert m["vision_cache_hits"] == 1
+        assert m["vision_cache_entries"] == 1
+        assert m["segments_dispatched"] >= 1 and m["uptime_s"] >= 0
