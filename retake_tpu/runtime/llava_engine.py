@@ -46,6 +46,42 @@ def _siglip_chunk(params, vcfg, frames_u8, act_quant=False):
     )
 
 
+@partial(jax.jit, static_argnames=("vcfg", "act_quant", "mesh"))
+def _siglip_chunk_tp(tower_params, vcfg, frames_u8, act_quant, mesh):
+    """Tensor-parallel SigLIP chunk: shard the FRAME axis over ``tp``.
+
+    Each frame is an independent 729-token sequence through the tower
+    (attention never crosses frames), so frame-sharding needs ZERO
+    collectives — the same argument as engine._vit_chunk_tp for the
+    Qwen2-VL ViT (head-sharding would all-reduce every proj/fc2).
+    shard_map keeps every op chip-local; tower weights replicate
+    (~0.8 GB at so400m scale)."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    tp = mesh.shape["tp"]
+    assert frames_u8.shape[0] % tp == 0, (frames_u8.shape, tp)
+
+    def local(vp, fr):
+        dtype = vp["patch_embed"]["w"].dtype
+        patches = siglip.patchify_frames(fr, vcfg, dtype)
+        return siglip.siglip_tower(vp, vcfg, patches, act_quant=act_quant)
+
+    kw = dict(
+        mesh=mesh,
+        in_specs=(jax.sharding.PartitionSpec(),
+                  jax.sharding.PartitionSpec("tp")),
+        out_specs=jax.sharding.PartitionSpec("tp"),
+    )
+    try:
+        f = shard_map(local, check_vma=False, **kw)
+    except TypeError:  # older jax spells it check_rep
+        f = shard_map(local, check_rep=False, **kw)
+    return f(tower_params, frames_u8)
+
+
 @partial(jax.jit, static_argnames=("grid", "pooled", "act_quant"))
 def _project_pool_chunk(
     params, features, grid: int, pooled: int, act_quant=False
@@ -100,12 +136,17 @@ def _dpselect_gather(features, grid_t, hw, tgt, window, sync):
 class LlavaOnevisionEngine:
     """Single-request long-video engine for the LLaVA-OneVision family."""
 
-    def __init__(self, cfg: LlavaOnevisionConfig, params, retake: RetakeConfig):
+    def __init__(self, cfg: LlavaOnevisionConfig, params, retake: RetakeConfig,
+                 cache_sharding=None):
         if retake.scaling_factor:
             cfg = cfg.with_yarn(retake.scaling_factor)
         self.cfg = cfg
         self.params = params
         self.retake = retake
+        # optional KVCache NamedShardings (parallel/mesh.cache_shardings):
+        # TP runs keep the cache sharded over kv heads, and run_vision
+        # frame-shards the SigLIP tower over the same mesh
+        self.cache_sharding = cache_sharding
         impl = retake.attn_implementation
         self.attn_impl = impl if impl in ("flash", "pallas", "xla") else "pallas"
         self.act_quant = retake.quantization == "w8a8"
@@ -131,15 +172,31 @@ class LlavaOnevisionEngine:
         fcs = self.retake.frame_chunk_size or 10**9
         frames = jnp.asarray(frames)
         aq = self._vision_aq()
+        # TP: shard the frame axis (frames are attention-independent —
+        # _siglip_chunk_tp) whenever the chunk's frame count divides tp
+        tp_mesh = None
+        if self.cache_sharding is not None:
+            m = self.cache_sharding.k.mesh
+            if m.shape.get("tp", 1) > 1:
+                tp_mesh = m
+
+        def tower(chunk):
+            if tp_mesh is not None and chunk.shape[0] % tp_mesh.shape["tp"] == 0:
+                return _siglip_chunk_tp(
+                    self.params["vision_tower"], self.cfg.vision, chunk,
+                    aq, tp_mesh,
+                )
+            return _siglip_chunk(self.params, self.cfg.vision, chunk, aq)
+
         if t <= fcs:
-            return _siglip_chunk(self.params, self.cfg.vision, frames, aq)
+            return tower(frames)
         out_buf = None
         for i in range(0, t, fcs):
             tc = min(fcs, t - i)
             chunk = frames[i : i + tc]
             if tc < fcs:
                 chunk = jnp.pad(chunk, ((0, fcs - tc), (0, 0), (0, 0), (0, 0)))
-            out = _siglip_chunk(self.params, self.cfg.vision, chunk, aq)[:tc]
+            out = tower(chunk)[:tc]
             if out_buf is None:
                 out_buf = jnp.zeros((t,) + out.shape[1:], out.dtype)
             out_buf = _write_rows(out_buf, out, jnp.int32(i))
@@ -332,8 +389,8 @@ class LlavaOnevisionEngine:
             max_new_tokens=max_new_tokens, attn_impl=self.attn_impl,
             timer=timer, t_start=t_start,
             image_embeds=ie_box, image_token_id=cfg.image_token_id,
-            act_quant=self.act_quant, prefill_only=_prefill_only,
-            on_dispatch=on_dispatch,
+            cache_sharding=self.cache_sharding, act_quant=self.act_quant,
+            prefill_only=_prefill_only, on_dispatch=on_dispatch,
         )
 
     def generate_batch(

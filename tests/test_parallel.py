@@ -152,3 +152,78 @@ def test_engine_run_vision_uses_tp_mesh(setup, rng):
     )
     out = eng.run_vision(patches, grid)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_llava_tp_engine_matches_single_device(rng):
+    """LLaVA TP: frame-sharded SigLIP tower (_siglip_chunk_tp) + kv-head-
+    sharded cache — full-engine greedy tokens match the unsharded engine."""
+    import torch
+    import transformers
+
+    from retake_tpu.models.llava_onevision import params as lparams_lib
+    from retake_tpu.models.llava_onevision.config import (
+        LlavaOnevisionConfig, SiglipVisionConfig,
+    )
+    from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+    from retake_tpu.runtime.llava_engine import (
+        LlavaOnevisionEngine, _siglip_chunk, _siglip_chunk_tp,
+    )
+    from retake_tpu.utils.config import RetakeConfig
+
+    text_kwargs = dict(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=4096, rope_theta=10000.0,
+        tie_word_embeddings=False, bos_token_id=0, eos_token_id=1,
+    )
+    hf_cfg = transformers.LlavaOnevisionConfig(
+        text_config=dict(text_kwargs, model_type="qwen2"),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=16, patch_size=4,
+            model_type="siglip_vision_model", vision_use_head=False,
+        ),
+        image_token_index=5, video_token_index=6,
+        vision_feature_select_strategy="full", vision_feature_layer=-1,
+    )
+    torch.manual_seed(3)
+    hf_model = (transformers.LlavaOnevisionForConditionalGeneration(hf_cfg)
+                .eval().float())
+    cfg = LlavaOnevisionConfig(
+        text=Qwen2VLConfig(mrope_section=None, **text_kwargs),
+        vision=SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=16, patch_size=4,
+        ),
+        image_token_id=5, video_token_id=6,
+    )
+    params = lparams_lib.from_torch_model(cfg, hf_model, dtype=jnp.float32)
+
+    frames = rng.integers(0, 255, size=(4, 16, 16, 3), dtype=np.uint8)
+    ref = _siglip_chunk(params, cfg.vision, jnp.asarray(frames), False)
+    mesh = mesh_lib.make_mesh(dp=1, tp=2)
+    out = _siglip_chunk_tp(
+        params["vision_tower"], cfg.vision, jnp.asarray(frames), False, mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    n_tok = 4 * cfg.tokens_per_frame + 1
+    ids = np.concatenate([
+        rng.integers(10, 500, size=4),
+        np.full(n_tok, cfg.video_token_id),
+        rng.integers(10, 500, size=6),
+    ]).astype(np.int64)
+    base = LlavaOnevisionEngine(cfg, params, rt).generate(
+        ids, frames, max_new_tokens=5
+    )
+    sharded_params = mesh_lib.shard_params(params, mesh)
+    eng_tp = LlavaOnevisionEngine(
+        cfg, sharded_params, rt,
+        cache_sharding=mesh_lib.cache_shardings(mesh),
+    )
+    got = eng_tp.generate(ids, frames, max_new_tokens=5)
+    np.testing.assert_array_equal(got.tokens, base.tokens)
