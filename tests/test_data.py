@@ -407,3 +407,41 @@ def test_config_rejects_invalid_quantization_values():
     with pytest.raises(ValueError, match="quantization"):
         RetakeConfig.from_dict({"quantization": "fp8"})
     assert RetakeConfig.from_dict({"kv_cache_dtype": "int8"}).kv_cache_dtype == "int8"
+
+
+def test_processor_text_only_modes_match_full():
+    """Grid-only / num_frames-only tokenization (VideoFeatures reuse)
+    emits exactly the ids the full pixel-processing call emits."""
+    import numpy as np
+
+    from retake_tpu.data.processor import (
+        LlavaOnevisionVideoProcessor, Qwen2VLProcessor,
+    )
+
+    class Tok:
+        def encode(self, s):
+            return [20 + (b % 400) for b in s.encode()][:64]
+
+        def decode(self, ids, **kw):
+            return ""
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, size=(56, 84, 3), dtype=np.uint8)
+              for _ in range(4)]
+
+    qp = Qwen2VLProcessor(Tok(), patch_size=2, merge_size=2,
+                          temporal_patch_size=2, min_pixels=1)
+    full = qp("What? A. x", frames)
+    lite = qp("What? A. x", video_grid=full["video_grid_thw"][0])
+    np.testing.assert_array_equal(lite["input_ids"], full["input_ids"])
+    assert lite["pixel_values_videos"] is None
+    np.testing.assert_array_equal(
+        lite["video_grid_thw"], full["video_grid_thw"]
+    )
+
+    lp = LlavaOnevisionVideoProcessor(Tok(), video_token_id=6,
+                                      image_size=16, tokens_per_frame=4)
+    lfull = lp("What? A. x", frames)
+    llite = lp("What? A. x", num_frames=len(frames))
+    np.testing.assert_array_equal(llite["input_ids"], lfull["input_ids"])
+    assert llite["pixel_values_videos"] is None
