@@ -508,11 +508,13 @@ def main():
         "vs_baseline_llm_prefill_only": round(llm_b / llm_r, 3),
         # vision reuse (engine.encode_video / reuse_video_features): the
         # eval benchmarks ask ~3 questions per video and the vision stage
-        # is question-independent, so the amortized per-question TTFT at
-        # the benchmark workload is vit/3 + llm (derived from the measured
-        # stage times above; token-exact — tests/test_engine.py)
+        # (tower AND DPSelect) is question-independent, so the amortized
+        # per-question TTFT at the benchmark workload is
+        # (vit + dpselect)/3 + llm (derived from the measured stage times
+        # above; token-exact — tests/test_engine.py)
         "ttft_amortized_3q_reuse_s": round(
-            stages_retake["vision_s"] / 3 + llm_r, 3
+            (stages_retake["vision_s"] + stages_retake["dpselect_s"]) / 3
+            + llm_r, 3
         ),
         "kv_cache_tokens_retake": int(cache_retake),
         "kv_cache_tokens_naive": int(cache_base),

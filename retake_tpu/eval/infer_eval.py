@@ -76,16 +76,7 @@ def _load_engine(model_name, hf_path, rt):
         if checkpoint.has_params(hf_path):
             # pre-quantized pytree (tools/quantize_checkpoint.py): skip the
             # bf16-sized read and the on-device quantization pass
-            meta = checkpoint.load_meta(hf_path)
-            assert rt.quantization in ("int8", "w8a8"), (
-                f"{hf_path} holds int8 weights but the config requests "
-                f"quantization={rt.quantization!r}"
-            )
-            assert not (rt.quantization == "w8a8"
-                        and not meta.get("vit_int8")), (
-                "w8a8 config needs a checkpoint quantized with --vit"
-            )
-            params = checkpoint.load_params(hf_path)
+            params = checkpoint.load_checked(hf_path, rt, "qwen2_vl")
         else:
             params = params_lib.load_safetensors(hf_path, cfg)
             if rt.quantization in ("int8", "w8a8"):

@@ -67,7 +67,8 @@ class RetakeHTTPServer:
         import time
 
         self._t_start = time.time()
-        self.handle = self.server.start_online(max_queue=self.max_queue)
+        # bind the socket BEFORE starting the serving worker: a bind
+        # failure (port in use) then raises cleanly with nothing to leak
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -141,6 +142,7 @@ class RetakeHTTPServer:
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._httpd.server_address[1]  # resolve port 0
+        self.handle = self.server.start_online(max_queue=self.max_queue)
         self._http_thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -183,9 +185,11 @@ class RetakeHTTPServer:
         else:
             inputs = self.processor(question)
             req = {k: v for k, v in inputs.items() if v is not None}
-        if body.get("max_new_tokens"):
+        if body.get("max_new_tokens") is not None:
             req["max_new_tokens"] = int(body["max_new_tokens"])
-        if body.get("deadline_s"):
+        if body.get("deadline_s") is not None:
+            # explicit None-check: deadline_s=0 means "already expired,
+            # reject without a prefill" and must not be dropped as falsy
             req["deadline_s"] = float(body["deadline_s"])
         return req
 

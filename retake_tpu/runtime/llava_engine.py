@@ -420,15 +420,9 @@ def load_llava_engine(hf_path: str, rt: RetakeConfig) -> LlavaOnevisionEngine:
     cfg = LlavaOnevisionConfig.from_pretrained(hf_path)
     if checkpoint.has_params(hf_path):
         # pre-quantized pytree (tools/quantize_checkpoint.py)
-        meta = checkpoint.load_meta(hf_path)
-        assert rt.quantization in ("int8", "w8a8"), (
-            f"{hf_path} holds int8 weights but the config requests "
-            f"quantization={rt.quantization!r}"
+        return LlavaOnevisionEngine(
+            cfg, checkpoint.load_checked(hf_path, rt, "llava_onevision"), rt
         )
-        assert not (rt.quantization == "w8a8" and not meta.get("vit_int8")), (
-            "w8a8 config needs a checkpoint quantized with --vit"
-        )
-        return LlavaOnevisionEngine(cfg, checkpoint.load_params(hf_path), rt)
     params = params_lib.load_safetensors(hf_path, cfg)
     if rt.quantization in ("int8", "w8a8"):
         from retake_tpu.ops.quantization import quantize_llm_int8

@@ -520,13 +520,19 @@ class ContinuousServer:
             feats = req["video_features"]
             self._vision_cache.pop(key, None)
             self._vision_cache[key] = feats
+            while len(self._vision_cache) > self.vision_cache_slots:
+                self._vision_cache.pop(next(iter(self._vision_cache)))
             return req
         feats = self._vision_cache.pop(key, None)  # pop+reinsert = LRU bump
         self.stats["vision_cache_hits" if feats is not None
                    else "vision_cache_misses"] += 1
         if feats is None and req.get("pixel_values_videos") is not None:
             feats = self.engine.encode_video(
-                req["pixel_values_videos"], req.get("video_grid_thw")
+                req["pixel_values_videos"], req.get("video_grid_thw"),
+                # keep in-flight lanes decoding during the encode, exactly
+                # as the inline vision path inside generate() would
+                on_dispatch=(self._on_prefill_dispatch
+                             if self.interleave else None),
             )
         if feats is None:
             return req
@@ -757,7 +763,12 @@ class OnlineHandle:
             self._next_id += 1
             fut = Future()
             self._futures[rid] = fut
-        self._q.put((request, rid, on_tokens, time.perf_counter()))
+            # the put stays UNDER the lock: it orders every submission
+            # before close()'s sentinel (a post-sentinel item would leave
+            # its Future unresolved forever) and makes the qsize check
+            # above atomic with the insertion (two concurrent submits
+            # cannot both pass a max_queue bound with one free slot)
+            self._q.put((request, rid, on_tokens, time.perf_counter()))
         return fut
 
     def close(self):
@@ -766,7 +777,8 @@ class OnlineHandle:
                 self._thread.join()
                 return
             self._closed = True
-        self._q.put(None)  # wake the worker's blocking get
+            self._q.put(None)  # wake the worker's blocking get; under the
+            #   lock so no submission can slip in after the sentinel
         self._thread.join()
 
     def __enter__(self):
@@ -797,10 +809,16 @@ class OnlineHandle:
 
         try:
             self.server._serve_loop(source, emit)
+            exc = RuntimeError("server closed before the request ran")
         except BaseException as e:  # worker died: fail pending futures
+            exc = e
+            raise
+        finally:
+            # no future may be left unresolved: on a normal close the
+            # under-lock sentinel ordering means there should be none, but
+            # belt-and-suspenders beats a caller blocked forever
             with self._lock:
                 futs, self._futures = self._futures, {}
             for f in futs.values():
                 if not f.done():
-                    f.set_exception(e)
-            raise
+                    f.set_exception(exc)

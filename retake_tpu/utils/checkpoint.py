@@ -70,6 +70,32 @@ def load_meta(path: str) -> dict:
         return json.load(f)
 
 
+def load_checked(path: str, rt, expect_model: str) -> dict:
+    """Load a pre-quantized pytree with the compatibility gates both
+    engine loaders need: the run's quantization mode must expect int8
+    weights, a w8a8 run needs a --vit checkpoint, and the sidecar's
+    model_name must match the engine family being built (a qwen run
+    pointed at a llava-quantized dir would otherwise fail minutes later
+    inside the first jit instead of at startup)."""
+    meta = load_meta(path)
+    saved = str(meta.get("model_name", "")).lower().replace("-", "").replace("_", "")
+    want = expect_model.lower().replace("-", "").replace("_", "")
+    # llava_onevision and llava_video share one params layout
+    fam = lambda n: "llava" if n.startswith("llava") else n  # noqa: E731
+    assert not saved or fam(saved) == fam(want), (
+        f"{path} was quantized for model_name={meta.get('model_name')!r}, "
+        f"not {expect_model!r}"
+    )
+    assert rt.quantization in ("int8", "w8a8"), (
+        f"{path} holds int8 weights but the config requests "
+        f"quantization={rt.quantization!r}"
+    )
+    assert not (rt.quantization == "w8a8" and not meta.get("vit_int8")), (
+        "w8a8 config needs a checkpoint quantized with --vit"
+    )
+    return load_params(path)
+
+
 def load_params(path: str, device: bool = True) -> dict:
     """Load a saved pytree; arrays land on the default device as jnp
     arrays (``device=False`` keeps host numpy for tests/tools)."""
