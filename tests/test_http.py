@@ -211,3 +211,64 @@ def test_http_metrics(tiny, frame_dir):  # noqa: F811
         assert m["vision_cache_hits"] == 1
         assert m["vision_cache_entries"] == 1
         assert m["segments_dispatched"] >= 1 and m["uptime_s"] >= 0
+
+
+def test_http_503_on_full_backlog(tiny, frame_dir):  # noqa: F811
+    """max_queue: a POST arriving with the backlog full gets 503 +
+    Retry-After; earlier requests complete normally."""
+    import threading
+
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"max_new_tokens": 24, "max_num_frames": 8, "sample_fps": 2,
+         "longsize_resolution": 84,
+         "longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    processor = Qwen2VLProcessor(
+        StubTokenizer(),
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        video_token_id=cfg.video_token_id,
+        patch_size=cfg.vision.patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        min_pixels=1,
+    )
+    with RetakeHTTPServer(
+        engine, processor, rt, port=0, max_queue=1,
+        batch_slots=1, segment_steps=2, max_new_tokens=24, gap_capacity=64,
+    ) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        body = {"question": "Q? A. x B. y", "video_path": frame_dir,
+                "extraction_fps": 2}
+        # request 1: stream, read its first event => it is ADMITTED (the
+        # backlog is empty again) and will decode for a while
+        r1 = _post(base + "/v1/generate", dict(body, stream=True))
+        first = r1.readline()
+        assert first.startswith(b"data: ")
+        results = {}
+
+        def post2():
+            with _post(base + "/v1/generate", body) as r:
+                results["r2"] = json.loads(r.read())
+
+        t2 = threading.Thread(target=post2)
+        t2.start()
+        # wait until request 2 is actually queued (backlog == 1)
+        for _ in range(200):
+            if srv.handle._q.qsize() >= 1:
+                break
+            import time
+            time.sleep(0.01)
+        assert srv.handle._q.qsize() >= 1
+        try:
+            _post(base + "/v1/generate", body)
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503 and e.headers["Retry-After"]
+        r1.read()  # drain request 1's stream
+        r1.close()
+        t2.join(timeout=300)
+        assert results["r2"]["tokens"]  # request 2 completed normally
