@@ -278,6 +278,27 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
             for sample, res in zip(samples, results):
                 journal_one(sample, res, extras_by_idx.pop(sample[0], None))
 
+        def dispatch_one(sample, gen_kwargs, extras=None):
+            """One sample through generate: direct at bs==1, else prefill
+            into the per-bucket pending batch (shared by the per-sample and
+            the reuse-grouped loops so batching/early-stop changes land in
+            ONE place)."""
+            if bs == 1:
+                result = engine.generate(
+                    **gen_kwargs, max_new_tokens=rt.max_new_tokens
+                )
+                journal_one(sample, result, extras)
+                return
+            state = engine.generate(
+                **gen_kwargs, max_new_tokens=rt.max_new_tokens,
+                _prefill_only=True,
+            )
+            if extras:
+                extras_by_idx[sample[0]] = extras
+            pending.setdefault(state.attn_need, []).append((sample, state))
+            if len(pending[state.attn_need]) >= bs:
+                flush_batch(state.attn_need)
+
         if reuse:
             # one vision encode per VIDEO; each question reuses the
             # VideoFeatures artifact. Frames load once per video (leader =
@@ -316,23 +337,11 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                             )["input_ids"]
                         sample = (midx, msg_j, meta_j)
                         extras = {"vision_s": 0.0, "vision_reused": True}
-                    if bs == 1:
-                        result = engine.generate(
-                            in_ids, video_features=features,
-                            max_new_tokens=rt.max_new_tokens,
-                        )
-                        journal_one(sample, result, extras)
-                        continue
-                    state = engine.generate(
-                        in_ids, video_features=features,
-                        max_new_tokens=rt.max_new_tokens, _prefill_only=True,
+                    dispatch_one(
+                        sample,
+                        dict(input_ids=in_ids, video_features=features),
+                        extras,
                     )
-                    extras_by_idx[sample[0]] = extras
-                    pending.setdefault(state.attn_need, []).append(
-                        (sample, state)
-                    )
-                    if len(pending[state.attn_need]) >= bs:
-                        flush_batch(state.attn_need)
                 del features, loaded, inputs  # free the video's embeddings
             for bucket in sorted(pending):
                 flush_batch(bucket)
@@ -342,28 +351,13 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
             indices, load, rt.dataloader_num_workers
         ):
             i, message, meta, inputs = loaded
-            if bs == 1:
-                result = engine.generate(
-                    inputs["input_ids"],
-                    inputs["pixel_values_videos"],
-                    inputs["video_grid_thw"],
-                    max_new_tokens=rt.max_new_tokens,
-                )
-                journal_one((i, message, meta), result)
-                continue
-            state = engine.generate(
-                inputs["input_ids"],
-                inputs["pixel_values_videos"],
-                inputs["video_grid_thw"],
-                max_new_tokens=rt.max_new_tokens,
-                _prefill_only=True,
+            gen_kwargs = dict(
+                input_ids=inputs["input_ids"],
+                pixel_values_videos=inputs["pixel_values_videos"],
+                video_grid_thw=inputs["video_grid_thw"],
             )
-            del inputs, loaded
-            pending.setdefault(state.attn_need, []).append(
-                ((i, message, meta), state)
-            )
-            if len(pending[state.attn_need]) >= bs:
-                flush_batch(state.attn_need)
+            del inputs, loaded  # big pixel arrays: drop before decode waits
+            dispatch_one((i, message, meta), gen_kwargs)
         for bucket in sorted(pending):
             flush_batch(bucket)
     return done

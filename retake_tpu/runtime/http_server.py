@@ -134,7 +134,7 @@ class RetakeHTTPServer:
                     self.wfile.write(msg)
                     return
                 out = json.dumps(outer._result_json(res)).encode()
-                self.send_response(200)
+                self.send_response(500 if res.error else 200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(out)))
                 self.end_headers()
@@ -155,13 +155,18 @@ class RetakeHTTPServer:
         question = body["question"]
         req: dict = {}
         path = body.get("video_path")
+        # cache key includes every per-request frame-loading knob: the same
+        # file at a different extraction_fps is a DIFFERENT frame set (and
+        # token count) and must not hit the other's features
+        fps = float(body.get("extraction_fps", 25.0))
+        cache_key = f"{path}|fps={fps}"
         feats = None
         if path and self.server.vision_cache_slots > 0:
             # peek the worker's vision cache: a hit skips BOTH the host
             # frame loading (glacial on this 1-core host) and the device
             # re-encode. The reference (grabbed here) is a strong ref, so
             # a concurrent eviction cannot strand the request.
-            feats = self.server._vision_cache.get(path)
+            feats = self.server._vision_cache.get(cache_key)
         if feats is not None:
             if feats.grid is not None:  # Qwen2-VL family
                 inputs = self.processor(question, video_grid=feats.grid)
@@ -169,19 +174,19 @@ class RetakeHTTPServer:
                 inputs = self.processor(question, num_frames=feats.t)
             req = {k: v for k, v in inputs.items() if v is not None}
             req["video_features"] = feats
-            req["video_key"] = path  # LRU bump at admission
+            req["video_key"] = cache_key  # LRU bump at admission
         elif path:
             frames = fetch_video(
                 path,
                 self.rt.max_num_frames,
                 self.rt.sample_fps,
                 self.rt.longsize_resolution,
-                extraction_fps=float(body.get("extraction_fps", 25.0)),
+                extraction_fps=fps,
             )
             inputs = self.processor(question, frames)
             req = {k: v for k, v in inputs.items() if v is not None}
             if self.server.vision_cache_slots > 0:
-                req["video_key"] = path
+                req["video_key"] = cache_key
         else:
             inputs = self.processor(question)
             req = {k: v for k, v in inputs.items() if v is not None}
@@ -200,6 +205,7 @@ class RetakeHTTPServer:
             "ttft_s": round(res.first_token_s - res.arrival_s, 3),
             "latency_s": round(res.finish_s - res.arrival_s, 3),
             "cancelled": bool(res.cancelled),
+            **({"error": res.error} if res.error else {}),
         }
 
     def _stream(self, handler, req):

@@ -140,6 +140,8 @@ class ServeResult:
     first_token_s: float  # prefill done = first token ready
     finish_s: float  # last token ready (end of its final segment)
     cancelled: bool = False  # client disconnect (on_tokens returned False)
+    error: str = ""  # online mode: admission failure message (request never
+    #   ran; cancelled is also True)
 
     @property
     def ttft_s(self) -> float:  # queue wait + prefill
@@ -560,13 +562,19 @@ class ContinuousServer:
         harvest."""
         return OnlineHandle(self, max_queue=max_queue)
 
-    def _serve_loop(self, source, emit_result):
+    def _serve_loop(self, source, emit_result, isolate_errors=False):
         """Shared serving loop. ``source(now, idle)`` returns
         ("req", (req_dict, request_id, on_tokens, arrival_s)) to admit,
         ("wait", None) when nothing is available right now, or
         ("end", None) once closed and empty (the loop then exits when the
         last in-flight request drains). ``emit_result(ServeResult)`` is
-        called exactly once per admitted request."""
+        called exactly once per admitted request.
+
+        ``isolate_errors`` (online mode): an exception while admitting ONE
+        request — a bad request dict, an over-budget video, an engine
+        RESOURCE_EXHAUSTED — fails only that request (its ServeResult
+        carries ``error``) and the loop keeps serving; the offline run()
+        keeps fail-fast semantics (the bench protocol wants the traceback)."""
         slot_req: Dict[int, int] = {}  # slot -> request id
         slot_tokens: Dict[int, list] = {}
         slot_meta: Dict[int, dict] = {}
@@ -607,20 +615,35 @@ class ContinuousServer:
                         first_token_s=now(), finish_s=now(), cancelled=True,
                     ))
                     continue
-                req = self._maybe_reuse_vision(req)
                 t_pf = now()
-                # per-request token budget: a request may carry its own
-                # max_new_tokens (server default otherwise). The engine
-                # sizes the request's attention bucket from it, and the
-                # _admit assertion (attn_need <= p_bucket) re-checks the
-                # compaction-fold invariant final_len + max_new <= P.
-                req_max = int(req.get("max_new_tokens") or self.max_new)
-                st = self.engine.generate(
-                    **{k: v for k, v in req.items() if k != "max_new_tokens"},
-                    max_new_tokens=req_max, _prefill_only=True,
-                    on_dispatch=(self._on_prefill_dispatch
-                                 if self.interleave else None),
-                )
+                try:
+                    req = self._maybe_reuse_vision(req)
+                    # per-request token budget: a request may carry its own
+                    # max_new_tokens (server default otherwise). The engine
+                    # sizes the request's attention bucket from it, and the
+                    # _admit assertion (attn_need <= p_bucket) re-checks the
+                    # compaction-fold invariant final_len + max_new <= P.
+                    req_max = int(req.get("max_new_tokens") or self.max_new)
+                    st = self.engine.generate(
+                        **{k: v for k, v in req.items()
+                           if k != "max_new_tokens"},
+                        max_new_tokens=req_max, _prefill_only=True,
+                        on_dispatch=(self._on_prefill_dispatch
+                                     if self.interleave else None),
+                    )
+                except Exception as e:
+                    if not isolate_errors:
+                        raise
+                    # online mode: fail THIS request, keep the loop alive
+                    self.stats["requests_failed"] = (
+                        self.stats.get("requests_failed", 0) + 1)
+                    emit_result(ServeResult(
+                        request_id=rid, tokens=np.zeros(0, np.int32),
+                        arrival_s=arrival, prefill_start_s=t_pf,
+                        first_token_s=now(), finish_s=now(),
+                        cancelled=True, error=f"{type(e).__name__}: {e}",
+                    ))
+                    continue
                 # blind segments staged during THIS prefill predate the
                 # admission — harvest them before the new tenant takes a slot
                 drain_staged()
@@ -681,9 +704,6 @@ class ContinuousServer:
                     req_id = slot_req[slot]
                     cb = slot_meta[slot]["on_tokens"]
                     dl = slot_meta[slot]["deadline"]
-                    if dl is not None and now() > dl:
-                        _finish(slot, cancelled=True)  # deadline expired
-                        continue
                     room = int(self.slot_max[slot]) - len(buf)
                     if room <= 0:
                         _finish(slot)
@@ -700,10 +720,14 @@ class ContinuousServer:
                     if cb is not None and len(col):
                         ret = cb(req_id, col.tolist())
                     if finished:
-                        # completion wins over a same-chunk disconnect: the
-                        # full stream was delivered, so the result is a
-                        # normal finish, not a cancellation
+                        # completion wins over a same-chunk disconnect OR a
+                        # same-segment deadline: the full stream was already
+                        # decoded, so the result is a normal finish
                         _finish(slot)
+                    elif dl is not None and now() > dl:
+                        # deadline expired mid-stream: cancel, keeping the
+                        # tokens decoded before the cutoff (just delivered)
+                        _finish(slot, cancelled=True)
                     elif ret is False:  # client disconnected: free the lane
                         _finish(slot, cancelled=True)
 
@@ -808,16 +832,17 @@ class OnlineHandle:
             self._futures.pop(res.request_id).set_result(res)
 
         try:
-            self.server._serve_loop(source, emit)
+            self.server._serve_loop(source, emit, isolate_errors=True)
             exc = RuntimeError("server closed before the request ran")
         except BaseException as e:  # worker died: fail pending futures
             exc = e
             raise
         finally:
-            # no future may be left unresolved: on a normal close the
-            # under-lock sentinel ordering means there should be none, but
-            # belt-and-suspenders beats a caller blocked forever
+            # no future may be left unresolved, and no submit() may target
+            # a dead worker: close the handle (later submits raise instead
+            # of hanging) and fail whatever futures remain
             with self._lock:
+                self._closed = True
                 futs, self._futures = self._futures, {}
             for f in futs.values():
                 if not f.done():

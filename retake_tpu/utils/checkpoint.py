@@ -82,17 +82,22 @@ def load_checked(path: str, rt, expect_model: str) -> dict:
     want = expect_model.lower().replace("-", "").replace("_", "")
     # llava_onevision and llava_video share one params layout
     fam = lambda n: "llava" if n.startswith("llava") else n  # noqa: E731
-    assert not saved or fam(saved) == fam(want), (
-        f"{path} was quantized for model_name={meta.get('model_name')!r}, "
-        f"not {expect_model!r}"
-    )
-    assert rt.quantization in ("int8", "w8a8"), (
-        f"{path} holds int8 weights but the config requests "
-        f"quantization={rt.quantization!r}"
-    )
-    assert not (rt.quantization == "w8a8" and not meta.get("vit_int8")), (
-        "w8a8 config needs a checkpoint quantized with --vit"
-    )
+    # explicit raises (not asserts): these are input/config validation and
+    # must survive python -O
+    if saved and fam(saved) != fam(want):
+        raise ValueError(
+            f"{path} was quantized for model_name="
+            f"{meta.get('model_name')!r}, not {expect_model!r}"
+        )
+    if rt.quantization not in ("int8", "w8a8"):
+        raise ValueError(
+            f"{path} holds int8 weights but the config requests "
+            f"quantization={rt.quantization!r}"
+        )
+    if rt.quantization == "w8a8" and not meta.get("vit_int8"):
+        raise ValueError(
+            "w8a8 config needs a checkpoint quantized with --vit"
+        )
     return load_params(path)
 
 

@@ -165,6 +165,12 @@ def test_http_vision_cache(tiny, frame_dir):  # noqa: F811
                 out2 = json.loads(r.read())
             assert n_enc["n"] == 1  # second request: cache hit end-to-end
             assert out1["tokens"] == out2["tokens"]  # identical question
+            # a different extraction_fps is a DIFFERENT frame set: the
+            # cache key includes it, so this must MISS and re-encode
+            with _post(base + "/v1/generate",
+                       dict(body, extraction_fps=1)) as r:
+                json.loads(r.read())
+            assert n_enc["n"] == 2
     finally:
         Eng.encode_video = orig
 

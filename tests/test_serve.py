@@ -712,3 +712,29 @@ def test_online_deadline_and_max_queue(tiny, rng):
         ).result(timeout=300)
     assert res.cancelled
     assert 1 <= len(res.tokens) < 200
+
+
+def test_online_admission_error_isolated(tiny, rng):
+    """Online mode: one bad request fails with ServeResult.error (the
+    worker loop survives); the next request serves normally. run() keeps
+    fail-fast semantics."""
+    engine, reqs = _build(tiny, rng, n_reqs=1)
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=8,
+        gap_capacity=64,
+    )
+    bad = {"input_ids": "not-an-array"}
+    with server.start_online() as handle:
+        res_bad = handle.submit(bad).result(timeout=300)
+        assert res_bad.cancelled and res_bad.error
+        assert len(res_bad.tokens) == 0
+        res_ok = handle.submit(reqs[0]).result(timeout=300)
+        assert not res_ok.cancelled and not res_ok.error
+        np.testing.assert_array_equal(
+            res_ok.tokens,
+            engine.generate(**reqs[0], max_new_tokens=8).tokens,
+        )
+    assert server.stats["requests_failed"] == 1
+    # the offline bench protocol wants the traceback, not isolation
+    with pytest.raises(Exception):
+        server.run([bad])
