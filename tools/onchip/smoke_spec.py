@@ -1,6 +1,11 @@
 import sys
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))))
 import jax
+
+# fp32 token-exactness contract: TPU silently downgrades fp32 matmuls
+# (CLAUDE.md); without this pin, solo-vs-served argmax flips on near-tie
+# logits of the tiny random model (observed on-chip 2026-08-18).
+jax.config.update("jax_default_matmul_precision", "highest")
 import dataclasses
 import numpy as np
 import jax.numpy as jnp

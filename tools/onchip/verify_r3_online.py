@@ -5,6 +5,11 @@ import json
 import urllib.request
 import numpy as np
 import jax
+
+# fp32 token-exactness contract: TPU silently downgrades fp32 matmuls
+# (CLAUDE.md); without this pin, solo-vs-served argmax flips on near-tie
+# logits of the tiny random model (observed on-chip 2026-08-18).
+jax.config.update("jax_default_matmul_precision", "highest")
 print("devices:", jax.devices(), flush=True)
 import jax.numpy as jnp
 from retake_tpu.models.qwen2_vl import params as params_lib

@@ -4,6 +4,11 @@ frame count is unnecessary for parity; timing shown for context)."""
 import time
 import numpy as np
 import jax
+
+# fp32 token-exactness contract: TPU silently downgrades fp32 matmuls
+# (CLAUDE.md); without this pin, solo-vs-served argmax flips on near-tie
+# logits of the tiny random model (observed on-chip 2026-08-18).
+jax.config.update("jax_default_matmul_precision", "highest")
 import jax.numpy as jnp
 
 print("devices:", jax.devices(), flush=True)

@@ -12,6 +12,11 @@ Drives, on the default (axon TPU) platform with a tiny random-weight model:
 import dataclasses
 import numpy as np
 import jax
+
+# fp32 token-exactness contract: TPU silently downgrades fp32 matmuls
+# (CLAUDE.md); without this pin, solo-vs-served argmax flips on near-tie
+# logits of the tiny random model (observed on-chip 2026-08-18).
+jax.config.update("jax_default_matmul_precision", "highest")
 import jax.numpy as jnp
 
 print("devices:", jax.devices(), flush=True)
