@@ -1,6 +1,10 @@
 """Verify on the real TPU: vision-reuse (VideoFeatures) token parity +
 measured per-question savings at a realistic-ish size (tiny model, big
 frame count is unnecessary for parity; timing shown for context)."""
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 import time
 import numpy as np
 import jax

@@ -9,6 +9,10 @@ Drives, on the default (axon TPU) platform with a tiny random-weight model:
   3. on_tokens returning False on the final chunk — completion must win
      over a same-chunk disconnect (new ordering).
 """
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 import dataclasses
 import numpy as np
 import jax
