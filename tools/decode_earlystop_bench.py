@@ -11,6 +11,10 @@ Two operating points at 2B geometry, B=4, 64-frame requests, max_new=128:
 Decision rule: flip decode_early_stop's default to true if the no-EOS
 overhead is <5% (the real-checkpoint win is ~16x at 8-token answers).
 """
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 
 import dataclasses
 import json

@@ -12,6 +12,10 @@
    decode to completion; continuous admission bounds that wait at one
    decode segment + its own prefill.
 """
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 
 import argparse
 import json

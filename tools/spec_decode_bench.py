@@ -13,6 +13,10 @@ Two questions only the chip can answer:
 Decision rule: if the no-acceptance overhead is <15%, spec_decode is safe
 to recommend for long-form generation configs (MLVU summarization).
 """
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 
 import dataclasses
 import json
