@@ -86,9 +86,11 @@ class RetakeConfig:
     # (while_loop instead of the static max_new-step scan;
     # token-identical). With real checkpoints, benchmark answers are a
     # handful of tokens vs max_new=128, so the static scan wastes
-    # ~max_new/answer_len of the decode time. Opt-in until the while_loop
-    # per-step cost is measured on-chip vs the scan.
-    decode_early_stop: bool = False
+    # ~max_new/answer_len of the decode time. Default ON: measured
+    # on-chip (tools/decode_earlystop_bench.py, 2B geometry, B=4,
+    # max_new=128, no EOS = worst case) the while_loop costs -1.5% vs
+    # the scan, i.e. free. Set false to pin the static-scan decode.
+    decode_early_stop: bool = True
     # TPU-native extension: prompt-lookup speculative decoding (greedy
     # only). Each decode step matches the trailing spec_ngram tokens of
     # [prompt tail | generated] against earlier occurrences, proposes the
