@@ -401,6 +401,33 @@ def main():
     stages_retake, cache_retake = profile_prefill(retake_engine, ids, patches, grid)
     tok_s_batch, tok_s_single = bench_batch_decode(retake_engine, cfg)
 
+    # cross-question prefill reuse (engine.VideoPrefix): the eval protocol
+    # asks ~3 questions per video and, with prompt_guided_compression off,
+    # the WHOLE prefill through the last video chunk is question-independent
+    # — not just the vision stage. Capture once; each question then pays
+    # only the trailing text segment + first token (token-exact or a loud
+    # PrefixMismatch — tests/test_prefix_reuse.py). Questions here share the
+    # leader's 48-token length, so the dynamic compression ratio resolves to
+    # the same plan and reuse is guaranteed (the eval runner falls back to
+    # VideoFeatures reuse on mismatch).
+    t_capture = t_suffix = None
+    try:
+        t0 = time.perf_counter()
+        vp = retake_engine.encode_prefix(ids, patches, grid)
+        t_capture = time.perf_counter() - t0
+        rngq = np.random.default_rng(1)
+        vid_end = int(np.where(ids == cfg.vision_end_token_id)[0][0])
+        for rep in range(2):  # rep 0 compiles the suffix step; rep 1 times
+            q = rngq.integers(10, 1000, size=48)
+            ids_q = np.concatenate([ids[: vid_end + 1], q.astype(np.int64)])
+            r = retake_engine.generate(ids_q, prefix=vp, max_new_tokens=1)
+            t_suffix = r.prefill_seconds
+        del vp
+        gc.collect()
+    except Exception as e:  # noqa: BLE001
+        print(f"# prefix-reuse arm skipped: {type(e).__name__}: {e}",
+              flush=True)
+
     # lossy TPU-native arm, detail-only (the headline A/B stays bf16 for
     # protocol parity): same request, W8A8 prefill linears + int8-ViT on the
     # MXU double-rate path. Accuracy must clear tools/first_checkpoint_gate

@@ -59,18 +59,55 @@ def main():
                    help="also print one machine-readable JSON line "
                         "(answers vs expected) — consumed by "
                         "tools/first_checkpoint_gate.py")
+    p.add_argument("--spec", action="store_true",
+                   help="enable prompt-lookup speculative decoding (the "
+                        "gate's spec-parity stage compares tokens vs a "
+                        "non-spec run)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random geometry (TINY_TEST_CONFIG) — CPU-fast "
+                        "dry-run mode for the gate's own tests")
     args = p.parse_args()
+
+    import dataclasses
 
     from retake_tpu.data.processor import Qwen2VLProcessor
     from retake_tpu.data.video import fetch_video
     from retake_tpu.models.qwen2_vl import params as params_lib
     from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
-    from retake_tpu.runtime.engine import Qwen2VLEngine
+    from retake_tpu.runtime.engine import PrefixMismatch, Qwen2VLEngine
     from retake_tpu.utils.config import RetakeConfig
 
     rt = RetakeConfig.from_yaml(args.config)
+    if args.spec:
+        rt = dataclasses.replace(rt, spec_decode=True)
 
-    if args.random_weights or not args.hf_path:
+    if args.tiny:
+        # tiny mode is a CPU dry-run: force the CPU backend BEFORE first use
+        # (the axon plugin pins jax_platforms="axon,cpu", overriding the
+        # JAX_PLATFORMS env var — running tiny shapes on the shared TPU
+        # would contend with real benchmarks for no reason)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+        from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
+
+        print("== tiny random-geometry dry-run mode ==")
+        import jax.numpy as jnp
+
+        cfg = TINY_TEST_CONFIG
+        params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+        processor = Qwen2VLProcessor(
+            _StubTokenizer(),
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+            video_token_id=cfg.video_token_id,
+            patch_size=cfg.vision.patch_size,
+            merge_size=cfg.vision.spatial_merge_size,
+            temporal_patch_size=cfg.vision.temporal_patch_size,
+            min_pixels=1,
+        )
+    elif args.random_weights or not args.hf_path:
         from retake_tpu.models.qwen2_vl.config import Qwen2VisionConfig
 
         print("== random-weights smoke mode (no checkpoint) ==")
@@ -96,22 +133,26 @@ def main():
             args.video, rt.max_num_frames, rt.sample_fps, rt.longsize_resolution
         )
     else:
-        n = args.frames or 64
+        n = args.frames or (8 if args.tiny else 64)
         print(f"no --video given: synthesizing {n} random frames")
         rng = np.random.default_rng(0)
+        size = (56, 84, 3) if args.tiny else (252, 448, 3)
         frames = [
-            rng.integers(0, 255, size=(252, 448, 3), dtype=np.uint8)
+            rng.integers(0, 255, size=size, dtype=np.uint8)
             for _ in range(n)
         ]
 
     from retake_tpu.data.scorers import trim_answer
 
-    # all three golden questions share the video: encode the vision stage
-    # once and reuse the artifact (engine.VideoFeatures) — token-identical
-    # to the reference's per-question recompute (tests/test_engine.py),
-    # questions 2 and 3 skip the whole ViT+DPSelect stage
-    features = grid = None
+    # all three golden questions share the video: capture the WHOLE
+    # question-independent prefill once (engine.VideoPrefix — vision tower,
+    # DPSelect, AND the video KV prefill); each question then pays only its
+    # trailing text segment + decode. Token-identical to the reference's
+    # per-question recompute (tests/test_prefix_reuse.py); a diverging plan
+    # raises PrefixMismatch and falls back to the vision-features artifact.
+    features = prefix = grid = None
     answers = []
+    token_streams = []
     for question, expected in zip(DEMO_QUESTIONS, EXPECTED_ANSWERS):
         if features is None:
             inputs = processor(question, frames)
@@ -120,19 +161,37 @@ def main():
             features = engine.encode_video(
                 inputs["pixel_values_videos"], grid
             )
-            print(f"[vision encoded once: "
+            try:
+                prefix = engine.encode_prefix(
+                    inputs["input_ids"], video_features=features,
+                    max_new_tokens=rt.max_new_tokens,
+                )
+            except ValueError as e:
+                print(f"[prefix capture unavailable: {e}]")
+            print(f"[vision + video prefill encoded once: "
                   f"{time.perf_counter() - t_enc:.1f}s, reused below]")
         else:
             inputs = processor(question, video_grid=grid[0])
         t0 = time.perf_counter()
-        result = engine.generate(
-            inputs["input_ids"],
-            video_features=features,
-            max_new_tokens=rt.max_new_tokens,
-        )
+        result = None
+        if prefix is not None:
+            try:
+                result = engine.generate(
+                    inputs["input_ids"], prefix=prefix,
+                    max_new_tokens=rt.max_new_tokens,
+                )
+            except PrefixMismatch as e:
+                print(f"[prefix fallback: {e}]")
+        if result is None:
+            result = engine.generate(
+                inputs["input_ids"],
+                video_features=features,
+                max_new_tokens=rt.max_new_tokens,
+            )
         dt = time.perf_counter() - t0
         decoded = processor.decode(result.tokens)
         answers.append(trim_answer(decoded))
+        token_streams.append([int(t) for t in result.tokens])
         print(f"\nQ: {question.splitlines()[0]}")
         print(f"A: {decoded!r}")
         print(f"expected: {expected}")
@@ -147,6 +206,7 @@ def main():
             "answers": answers,
             "expected": EXPECTED_ANSWERS,
             "golden_pass": answers == EXPECTED_ANSWERS,
+            "tokens": token_streams,
         }))
 
 

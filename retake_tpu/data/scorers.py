@@ -78,6 +78,25 @@ MLVU_MC_TYPES = [
 ]
 MLVU_GEN_TYPES = ["Video Summary", "Sub-Scene Captioning"]
 MLVU_DEV_ORDER = MLVU_MC_TYPES + ["M-AVG"] + MLVU_GEN_TYPES + ["G-AVG"]
+# test split: the reference raises NotImplementedError for it but records
+# the intended layout as "TR AR NQA ER PQA SQA AO AC TQA M-AVG SSC VS G-Avg"
+# (reference dataset_utils.py:339-342, 357-366) — M-AVG runs over NINE MC
+# types (SportsQA and Tutorial QA join the dev seven)
+MLVU_TEST_MC_TYPES = [
+    "Topic Reasoning",
+    "Anomaly Recognition",
+    "Needle QA",
+    "Ego Reasoning",
+    "Plot QA",
+    "SportsQA",
+    "Action Order",
+    "Action Count",
+    "Tutorial QA",
+]
+MLVU_TEST_ORDER = (
+    MLVU_TEST_MC_TYPES
+    + ["M-AVG", "Sub-Scene Captioning", "Video Summary", "G-AVG"]
+)
 
 
 def _mlvu_generation_score(anno_id, gt, pred, meta, enable_gpt_eval):
@@ -157,9 +176,24 @@ def eval_mlvu_results(anno_id2result: Dict, anno_id2meta: Dict, enable_gpt_eval=
         )
     infer_df = pd.DataFrame(rows)
 
+    # loud on unknown types: a silently-dropped sample corrupts M-AVG
+    # (the reference raises NotImplementedError for the whole test split,
+    # dataset_utils.py:339-342; we aggregate it instead — see
+    # MLVU_TEST_MC_TYPES — but still refuse types we cannot place)
+    types = set(infer_df["question_type"])
+    unknown = types - set(MLVU_TEST_MC_TYPES) - set(MLVU_GEN_TYPES)
+    if unknown:
+        raise ValueError(
+            f"unknown MLVU question types {sorted(unknown)}; known MC types "
+            f"are {MLVU_TEST_MC_TYPES} and generation types {MLVU_GEN_TYPES}"
+        )
+    is_test = bool(types & {"SportsQA", "Tutorial QA"})
+    mc_types = MLVU_TEST_MC_TYPES if is_test else MLVU_MC_TYPES
+    order = MLVU_TEST_ORDER if is_test else MLVU_DEV_ORDER
+
     acc = infer_df.groupby("question_type")["correct"].mean() * 100
     acc = acc.reset_index().rename(columns={"correct": "Accuracy"})
-    mc_rows = acc["question_type"].isin(MLVU_MC_TYPES)
+    mc_rows = acc["question_type"].isin(mc_types)
     m_avg = acc[mc_rows]["Accuracy"].mean()
     g_rows = acc["question_type"].isin(MLVU_GEN_TYPES)
     # generation scores are 0-10 judge totals, not percentages
@@ -170,7 +204,7 @@ def eval_mlvu_results(anno_id2result: Dict, anno_id2meta: Dict, enable_gpt_eval=
     )
     eval_df = pd.concat([acc, overall], ignore_index=True)
     eval_df = eval_df.set_index("question_type").transpose()
-    present = [c for c in MLVU_DEV_ORDER if c in eval_df.columns]
+    present = [c for c in order if c in eval_df.columns]
     return eval_df[present], infer_df
 
 

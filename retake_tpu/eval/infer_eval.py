@@ -309,6 +309,8 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 inputs = processor(message["question"], message["video"])
                 return i, message, meta, inputs
 
+            from retake_tpu.runtime.engine import PrefixMismatch
+
             for gi, loaded in prefetch_iter(
                 list(range(len(groups))), load_group,
                 rt.dataloader_num_workers,
@@ -320,11 +322,29 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 )
                 vision_s = time.time() - t_enc
                 grid = inputs["video_grid_thw"]
+                # the LLM video prefill is ALSO question-independent when
+                # prompt_guided_compression is off — capture it once
+                # (engine.VideoPrefix); per-question generate(prefix=...)
+                # pays only the trailing text segment + decode and is
+                # token-exact or raises PrefixMismatch (then we fall back
+                # to the vision-features path, never silently drift)
+                prefix = None
+                prefix_s = 0.0
+                try:
+                    t_pfx = time.time()
+                    prefix = engine.encode_prefix(
+                        inputs["input_ids"], video_features=features,
+                        max_new_tokens=rt.max_new_tokens,
+                    )
+                    prefix_s = time.time() - t_pfx
+                except ValueError as e:
+                    print(f"[rank {rank}] prefix capture unavailable: {e}")
                 for j, midx in enumerate(groups[gi]):
                     if j == 0:
                         sample = (i, message, meta)
                         in_ids = inputs["input_ids"]
-                        extras = {"vision_s": round(vision_s, 3)}
+                        extras = {"vision_s": round(vision_s, 3),
+                                  "prefix_s": round(prefix_s, 3)}
                     else:
                         midx, msg_j, meta_j = dataset.item_light(midx)
                         if grid is not None:
@@ -337,12 +357,24 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                             )["input_ids"]
                         sample = (midx, msg_j, meta_j)
                         extras = {"vision_s": 0.0, "vision_reused": True}
+                    if prefix is not None:
+                        try:
+                            dispatch_one(
+                                sample,
+                                dict(input_ids=in_ids, prefix=prefix),
+                                {**extras, "prefill_reused": True},
+                            )
+                            continue
+                        except PrefixMismatch as e:
+                            print(f"[rank {rank}] prefix fallback "
+                                  f"(idx {sample[0]}): {e}")
                     dispatch_one(
                         sample,
                         dict(input_ids=in_ids, video_features=features),
                         extras,
                     )
-                del features, loaded, inputs  # free the video's embeddings
+                del features, prefix, loaded, inputs  # free the video's
+                #   embeddings + captured KV snapshot
             for bucket in sorted(pending):
                 flush_batch(bucket)
             return done

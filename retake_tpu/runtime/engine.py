@@ -745,6 +745,58 @@ class PrefillState:
     attn_need: int = 0
 
 
+class PrefixMismatch(ValueError):
+    """generate(prefix=...) got a question whose prefill plan diverges from
+    the captured prefix (different prompt prefix, or a dynamic compression
+    ratio that resolved to different keep_len values). Callers fall back to
+    the inline path — typically generate(video_features=prefix.features)."""
+
+
+@dataclasses.dataclass
+class VideoPrefix:
+    """Question-independent LLM-prefill artifact: the compressed KV cache
+    snapshotted after the LAST video chunk, reusable across every question
+    about the same video.
+
+    The reference re-runs the whole video prefill per question even though,
+    with prompt_guided_compression off (every shipped eval config), the
+    question enters the video chunks ONLY via forge
+    (reference qwen2_vl.py:670-720) — so the segment plan up to and
+    including the last video chunk is question-independent. This extends
+    VideoFeatures reuse (vision tower only) to the full prefill: per
+    question only the trailing text segment + decode run.
+
+    Exactness contract: generate(prefix=...) recomputes the per-question
+    plan (including the dynamic compression ratio, which depends on total
+    prompt length — reference qwen2_vl.py:550-557) and reuses ONLY if the
+    prefix-covered plan steps and token ids match the capture exactly;
+    otherwise it raises PrefixMismatch. Reuse is therefore provably
+    token-exact per question. At eval scale (±tens of question tokens over
+    >32k-token inputs) the resolved keep_len values are identical, so
+    mismatches are rare.
+
+    ``cache`` is never mutated by reuse — each generate(prefix=...) forks a
+    device copy. Drop the object after a video's last question to release
+    the HBM (cache + features.embeds).
+    """
+
+    cache: object  # KVCache after the video segments (original; forked per use)
+    final_len: int  # cache fill after the prefix
+    budget: int  # cache budget the prefix was captured at (incl. reserve)
+    split: int  # index into the REFORGED ids where the prefix ends
+    prefix_ids: np.ndarray  # reforged ids[:split] (validation)
+    plan_sig: tuple  # ((kind, offset, valid, keep), ...) of the prefix steps
+    features: Optional[VideoFeatures] = None  # vision metadata + fallback
+    prefill_seconds: float = 0.0  # capture cost (vision + video prefill)
+    stages: Optional[dict] = None
+
+
+def _fork_cache(cache):
+    """Device copy of a KVCache so chunk steps (which donate their cache
+    argument) can never touch the shared prefix snapshot."""
+    return jax.tree_util.tree_map(jnp.copy, cache)
+
+
 @partial(jax.jit, donate_argnames=("cache",), static_argnames=("need",))
 def _trim_cache(cache, need: int):
     """Shrink a prefilled cache to its decode bucket (donated: frees the
@@ -1000,7 +1052,10 @@ class Qwen2VLEngine:
         image_grid_thw=None,
         video_features: Optional[VideoFeatures] = None,  # precomputed
         #   encode_video artifact (reused across questions on one video)
+        prefix: Optional[VideoPrefix] = None,  # captured encode_prefix
+        #   artifact: skip vision AND the video prefill for this question
         _prefill_only: bool = False,
+        _capture_reserve: Optional[int] = None,  # encode_prefix plumbing
         on_dispatch=None,  # serving hook: called after each ViT-chunk /
         #   prefill-step dispatch so a server can interleave decode work
     ) -> GenerationResult:
@@ -1014,6 +1069,12 @@ class Qwen2VLEngine:
         ids = np.asarray(input_ids, dtype=np.int64).reshape(-1)
 
         t0 = time.perf_counter()
+        if prefix is not None:
+            assert pixel_values_videos is None and video_features is None, (
+                "generate(prefix=...) replaces both the pixels and the "
+                "video_features inputs"
+            )
+            video_grid_thw = np.asarray([prefix.features.grid])
         if pixel_values_videos is None and video_features is not None:
             # reuse path: the grid rides in the features
             video_grid_thw = np.asarray([video_features.grid])
@@ -1047,7 +1108,19 @@ class Qwen2VLEngine:
                 pixel_values_videos, grid[0], on_dispatch=on_dispatch,
                 _timer=timer,
             )
-        if video_features is not None:
+        if prefix is not None:
+            # metadata-only use of the features: reforge ids/positions the
+            # way the inline path did at capture (embeds stay untouched —
+            # the video KV already lives in the prefix cache)
+            vf = prefix.features
+            if vf.tgt != vf.t:
+                vi = np.where(ids == cfg.video_token_id)[0]
+                ids, pos = pos_lib.reforge_after_visual_compression(
+                    ids, pos, (int(vi[0]), int(vi[-1]) + 1),
+                    vf.tgt * vf.hw, vf.t - vf.tgt,
+                )
+                keypatch_tokens = np.zeros(len(ids), dtype=bool)
+        elif video_features is not None:
             vf = video_features
             video_embeds = vf.embeds
             if vf.tgt != vf.t:
@@ -1067,7 +1140,7 @@ class Qwen2VLEngine:
         # embeddings right after scattering them
         ve_box, video_embeds = [video_embeds], None
         ie_box, image_embeds = [image_embeds], None
-        return prefill_and_decode(
+        out = prefill_and_decode(
             self.params, cfg, rt,
             ids=ids, pos=pos, keypatch_tokens=keypatch_tokens,
             video_embeds=ve_box, video_token_id=cfg.video_token_id,
@@ -1077,6 +1150,38 @@ class Qwen2VLEngine:
             image_embeds=ie_box, image_token_id=cfg.image_token_id,
             cache_sharding=self.cache_sharding, act_quant=self.act_quant,
             prefill_only=_prefill_only, on_dispatch=on_dispatch,
+            capture_reserve=_capture_reserve, prefix=prefix,
+        )
+        if _capture_reserve is not None:
+            out.features = video_features  # metadata + fallback artifact
+        return out
+
+    def encode_prefix(
+        self,
+        input_ids: np.ndarray,
+        pixel_values_videos: Optional[np.ndarray] = None,
+        video_grid_thw=None,
+        video_features: Optional[VideoFeatures] = None,
+        max_new_tokens: Optional[int] = None,
+        reserve_tokens: int = 512,
+    ) -> VideoPrefix:
+        """Run vision + the question-independent video prefill ONCE and
+        snapshot the compressed KV cache (VideoPrefix). Subsequent
+        ``generate(input_ids=..., prefix=...)`` calls pay only the trailing
+        text segment + decode — the reference re-runs the whole prefill per
+        question (qwen2_vl.py:670-733) although, with
+        prompt_guided_compression off, nothing before the question segment
+        depends on it.
+
+        ``input_ids`` is any full prompt containing the video span (e.g.
+        the video's first question); its suffix is ignored.
+        ``reserve_tokens`` bounds how much LONGER a later question's suffix
+        may be before its budget outgrows the captured cache.
+        """
+        return self.generate(
+            input_ids, pixel_values_videos, video_grid_thw,
+            max_new_tokens=max_new_tokens, video_features=video_features,
+            _capture_reserve=int(reserve_tokens),
         )
 
 
@@ -1102,6 +1207,10 @@ def prefill_and_decode(
     act_quant: bool = False,
     prefill_only: bool = False,
     on_dispatch=None,  # called after each plan-step dispatch (serving hook)
+    capture_reserve: Optional[int] = None,  # capture a VideoPrefix after the
+    #   last video chunk, reserving this many suffix tokens in the budget
+    prefix: Optional[VideoPrefix] = None,  # resume from a captured prefix:
+    #   skip its plan steps, fork its cache, run only the trailing text
 ):
     """Shared chunked-prefill + greedy-decode core (both model families).
 
@@ -1182,6 +1291,62 @@ def prefill_and_decode(
     needed = max(max_extent, final_len + max_new_tokens + spec_draft)
     budget = math.ceil(needed / BUDGET_BUCKET) * BUDGET_BUCKET
 
+    # cross-question prefill reuse (VideoPrefix capture / resume): the plan
+    # through the last video chunk is question-independent when
+    # prompt_guided_compression is off (reference qwen2_vl.py:670-720)
+    n_prefix_steps = 0
+    if capture_reserve is not None or prefix is not None:
+        if prompt_guided:
+            raise ValueError(
+                "prefix reuse requires prompt_guided_compression off (the "
+                "question enters every video chunk via forge)"
+            )
+        vid_steps = [i for i, p in enumerate(plan) if p["kind"] == "video"]
+        if not vid_steps:
+            raise ValueError("no video segment: nothing to capture/reuse")
+        last_vid = vid_steps[-1]
+        split = plan[last_vid]["offset"] + plan[last_vid]["valid"]
+        n_prefix_steps = last_vid + 1
+        if n_prefix_steps == len(plan):
+            raise ValueError(
+                "prompt ends with the video span; prefix reuse needs a "
+                "trailing text (question) segment to produce the first token"
+            )
+        plan_sig = tuple(
+            (p["kind"], p["offset"], p["valid"], p.get("keep", -1))
+            for p in plan[:n_prefix_steps]
+        )
+        prefix_len = plan[last_vid]["cache_len"] + plan[last_vid]["keep"]
+    if prefix is not None:
+        if split != prefix.split or not np.array_equal(
+            ids[: prefix.split], prefix.prefix_ids
+        ):
+            raise PrefixMismatch(
+                "prompt prefix differs from the captured prefix (same video, "
+                "system prompt, and frame count required)"
+            )
+        if plan_sig != prefix.plan_sig:
+            # e.g. dynamic_compression_ratio resolved to different keep_len
+            # values for this question's total length (qwen2_vl.py:550-557)
+            raise PrefixMismatch(
+                "prefill plan diverged from the captured prefix "
+                f"(dynamic compression ratio? input_len={s})"
+            )
+        assert prefix_len == prefix.final_len, (prefix_len, prefix.final_len)
+        if needed > prefix.budget:
+            raise PrefixMismatch(
+                f"cache budget {prefix.budget} too small for this question "
+                f"(needs {needed}); re-encode the prefix with a larger "
+                "reserve_tokens"
+            )
+        budget = prefix.budget
+    elif capture_reserve is not None:
+        needed = max(
+            max_extent,
+            prefix_len + capture_reserve + max_new_tokens + spec_draft,
+        )
+        budget = math.ceil(needed / BUDGET_BUCKET) * BUDGET_BUCKET
+
     # 4. device inputs
     s_pad = max(seg["offset"] + seg["chunk_len"] for seg in plan)
     s_pad = max(s_pad, s)
@@ -1194,6 +1359,17 @@ def prefill_and_decode(
     kp_pad = np.zeros(s_pad, dtype=bool)
     kp_pad[:s] = keypatch_tokens
 
+    if prefix is not None:
+        assert video_embeds is None, (
+            "generate(prefix=...) must not also receive video embeddings — "
+            "the video KV is already in the prefix cache"
+        )
+        if image_embeds is not None and np.any(
+            np.flatnonzero(ids == image_token_id) < prefix.split
+        ):
+            raise NotImplementedError(
+                "image tokens inside the captured prefix span"
+            )
     if video_embeds is not None:
         n_video_tokens = int(np.sum(ids == video_token_id))
         if n_video_tokens != video_embeds.shape[0]:
@@ -1240,12 +1416,18 @@ def prefill_and_decode(
     pos_dev = jnp.asarray(pos_pad)
     kp_dev = jnp.asarray(kp_pad)
 
-    kv = cache_lib.init_cache(
-        cfg.num_hidden_layers, cfg.num_key_value_heads, budget,
-        cfg.head_dim, dtype=embeds.dtype,
-        quantized=rt.kv_cache_dtype == "int8",
-    )
-    if cache_sharding is not None:
+    if prefix is not None:
+        # fork the snapshot: chunk steps donate their cache argument, and
+        # the original must survive for the video's remaining questions
+        # (sharding rides the copy)
+        kv = _fork_cache(prefix.cache)
+    else:
+        kv = cache_lib.init_cache(
+            cfg.num_hidden_layers, cfg.num_key_value_heads, budget,
+            cfg.head_dim, dtype=embeds.dtype,
+            quantized=rt.kv_cache_dtype == "int8",
+        )
+    if prefix is None and cache_sharding is not None:
         cs = cache_sharding
         if kv.quantized and cs.k_scale is None:
             # scales shard like k/v minus the head_dim axis
@@ -1262,10 +1444,13 @@ def prefill_and_decode(
     # 5. run the plan; consecutive plain video chunks fuse into one scan
     hidden = None
     last_valid = 0
-    i = 0
+    # resume: the prefix steps already live in the forked cache; capture:
+    # stop after the last video chunk (the suffix runs per question)
+    i = n_prefix_steps if prefix is not None else 0
+    n_run = n_prefix_steps if capture_reserve is not None else len(plan)
     hook = on_dispatch if on_dispatch is not None else (lambda: None)
     with timer.stage("prefill_chunks"):
-        while i < len(plan):
+        while i < n_run:
             step = plan[i]
             if step["kind"] == "text":
                 hidden, kv = _segment_step(
@@ -1326,6 +1511,20 @@ def prefill_and_decode(
                     hook()
                     last_valid = x["valid"]
                 i = j
+
+    if capture_reserve is not None:
+        # host read of the advanced length scalar: fences the queued prefix
+        # steps (block_until_ready is a no-op through the axon tunnel) and
+        # validates the device fill against the host plan
+        fill = int(kv.length)
+        assert fill == prefix_len, (fill, prefix_len)
+        timer.report()
+        return VideoPrefix(
+            cache=kv, final_len=prefix_len, budget=budget, split=split,
+            prefix_ids=np.asarray(ids[:split]).copy(), plan_sig=plan_sig,
+            prefill_seconds=time.perf_counter() - t_start,
+            stages=dict(timer.totals) if timer.totals else None,
+        )
 
     # sampling config (reference forwards do_sample to HF generate,
     # infer_eval.py:53,110); greedy when do_sample is false

@@ -324,7 +324,10 @@ class LlavaOnevisionEngine:
         image_sizes=None,  # [n, 2] (H, W)
         video_features: Optional[VideoFeatures] = None,  # precomputed
         #   encode_video artifact (reused across questions on one video)
+        prefix=None,  # captured encode_prefix artifact (engine.VideoPrefix):
+        #   skip vision AND the video prefill for this question
         _prefill_only: bool = False,
+        _capture_reserve: Optional[int] = None,  # encode_prefix plumbing
         on_dispatch=None,  # serving hook (see Qwen2VLEngine.generate)
     ) -> GenerationResult:
         import time
@@ -345,6 +348,22 @@ class LlavaOnevisionEngine:
         video_embeds = None
         keypatch_tokens = np.zeros(len(ids), dtype=bool)
         num_frames = 0
+        if prefix is not None:
+            assert pixel_values_videos is None and video_features is None, (
+                "generate(prefix=...) replaces both the pixels and the "
+                "video_features inputs"
+            )
+            # metadata-only use: truncate the placeholder span the way the
+            # inline path did at capture (reference llava_onevision.py:252-
+            # 265); the video KV already lives in the prefix cache
+            vf = prefix.features
+            t, tgt = vf.t, vf.tgt
+            num_frames = t
+            if tgt != t:
+                vi = np.where(ids == cfg.video_token_id)[0]
+                keep_end = int(vi[0]) + tgt * cfg.tokens_per_frame + 1
+                ids = np.concatenate([ids[:keep_end], ids[int(vi[-1]) + 1 :]])
+                keypatch_tokens = np.zeros(len(ids), dtype=bool)
         if pixel_values_videos is not None:
             video_features = self.encode_video(
                 pixel_values_videos, on_dispatch=on_dispatch, _timer=timer
@@ -381,7 +400,7 @@ class LlavaOnevisionEngine:
         # [t*196, d] video embeds are 1.4 GB at 1024 frames x 7B width
         ve_box, video_embeds = [video_embeds], None
         ie_box, image_embeds = [image_embeds], None
-        return prefill_and_decode(
+        out = prefill_and_decode(
             self.params, cfg.text, rt,
             ids=ids, pos=pos, keypatch_tokens=keypatch_tokens,
             video_embeds=ve_box, video_token_id=cfg.video_token_id,
@@ -391,6 +410,27 @@ class LlavaOnevisionEngine:
             image_embeds=ie_box, image_token_id=cfg.image_token_id,
             cache_sharding=self.cache_sharding, act_quant=self.act_quant,
             prefill_only=_prefill_only, on_dispatch=on_dispatch,
+            capture_reserve=_capture_reserve, prefix=prefix,
+        )
+        if _capture_reserve is not None:
+            out.features = video_features  # metadata + fallback artifact
+        return out
+
+    def encode_prefix(
+        self,
+        input_ids: np.ndarray,
+        pixel_values_videos: Optional[np.ndarray] = None,
+        video_grid_thw=None,  # unused (API symmetry with Qwen2VLEngine)
+        video_features: Optional[VideoFeatures] = None,
+        max_new_tokens: Optional[int] = None,
+        reserve_tokens: int = 512,
+    ):
+        """Capture the question-independent video prefill as an
+        engine.VideoPrefix — see Qwen2VLEngine.encode_prefix."""
+        return self.generate(
+            input_ids, pixel_values_videos,
+            max_new_tokens=max_new_tokens, video_features=video_features,
+            _capture_reserve=int(reserve_tokens),
         )
 
     def generate_batch(

@@ -102,6 +102,14 @@ class RetakeConfig:
     # with kv_cache_dtype: int8, whose coarser logits flip near-ties; the
     # stream stays self-consistent greedy either way). Sequential
     # generate only (batched decode / serving keep the s=1 loops).
+    # MEASURED on-chip (tools/spec_decode_bench.py, 2026-08-19, 2B/64f,
+    # draft=8): verify step 6.84 ms vs 5.07 ms scan step (35% overhead at
+    # zero acceptance -> breakeven ~1.35 accepted tok/step); at the
+    # random-weight cyclical streams' 1.98 tok/step it was 1.47x faster
+    # end-to-end. Default stays FALSE: acceptance is workload-dependent
+    # (short MC eval answers rarely quote the prompt) and the default
+    # decode_early_stop already collapses short answers; enable for
+    # long-form generation (MLVU summarization) with real checkpoints.
     spec_decode: bool = False
     spec_ngram: int = 3
     spec_draft: int = 8

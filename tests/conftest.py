@@ -27,6 +27,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: end-to-end tests that dominate suite wall time on this "
+        "1-core host. Fast loop: `pytest -m 'not slow' -q` (~minutes); "
+        "the full suite remains the CI bar (~25-30 min, needs a dedicated "
+        "core — never run it concurrently with another heavy process).",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -81,6 +81,54 @@ def test_videomme_scorer_layout():
     assert infer_df["correct"].sum() == 3
 
 
+def test_mlvu_scorer_dev_and_test_split():
+    """Dev split: M-AVG over the seven dev MC types. Test split: SportsQA
+    and Tutorial QA join M-AVG (the reference raises NotImplementedError
+    for this split — dataset_utils.py:339-342; we aggregate it in the
+    reference's intended column order, :357-366). Unknown types raise
+    instead of silently dropping out of the aggregate."""
+    from retake_tpu.data.scorers import (
+        MLVU_GEN_TYPES,
+        MLVU_MC_TYPES,
+        MLVU_TEST_MC_TYPES,
+        eval_mlvu_results,
+    )
+
+    # dev: one right + one wrong sample per MC type, gen types score 0
+    # without the GPT judge
+    metas, results = {}, {}
+    i = 0
+    for qt in MLVU_MC_TYPES + MLVU_GEN_TYPES:
+        for correct in (True, False):
+            metas[i] = dict(answer="A", question_type=qt)
+            results[i] = "A" if correct else "B"
+            i += 1
+    eval_df, infer_df = eval_mlvu_results(results, metas)
+    assert eval_df["M-AVG"].iloc[0] == 50.0
+    assert list(eval_df.columns) == (
+        MLVU_MC_TYPES + ["M-AVG"] + MLVU_GEN_TYPES + ["G-AVG"]
+    )
+
+    # test: all 11 types; SportsQA all-correct pulls M-AVG above 50
+    for qt in ("SportsQA", "Tutorial QA"):
+        metas[i] = dict(answer="A", question_type=qt)
+        results[i] = "A"
+        i += 1
+    eval_df, _ = eval_mlvu_results(results, metas)
+    cols = list(eval_df.columns)
+    assert cols == MLVU_TEST_MC_TYPES + [
+        "M-AVG", "Sub-Scene Captioning", "Video Summary", "G-AVG",
+    ]
+    assert eval_df["SportsQA"].iloc[0] == 100.0
+    assert eval_df["M-AVG"].iloc[0] == pytest.approx((7 * 50 + 2 * 100) / 9)
+
+    # unknown type: loud, never a silently-wrong aggregate
+    metas[i] = dict(answer="A", question_type="Mystery QA")
+    results[i] = "A"
+    with pytest.raises(ValueError, match="Mystery QA"):
+        eval_mlvu_results(results, metas)
+
+
 def test_lvbench_scorer_multi_type():
     results = {0: "A", 1: "B"}
     metas = {

@@ -8,8 +8,11 @@ Two operating points at 2B geometry, B=4, 64-frame requests, max_new=128:
     the loop should cut decode time ~max_new/answer_len while the scan
     pays all 127 steps.
 
-Decision rule: flip decode_early_stop's default to true if the no-EOS
-overhead is <5% (the real-checkpoint win is ~16x at 8-token answers).
+MEASURED on-chip 2026-08-19: no-EOS while_loop overhead -1.5% (i.e. the
+while_loop was marginally FASTER than the scan at the full trip count),
+forced-EOS case cut decode as expected. decode_early_stop therefore
+defaults to TRUE (utils/config.py cites this measurement). This bench
+remains for re-validation after decode-path changes.
 """
 import os as _os, sys as _sys
 _REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))

@@ -3,8 +3,6 @@ import os as _os, sys as _sys
 _REPO = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 if _REPO not in _sys.path:
     _sys.path.insert(0, _REPO)
-import sys
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))))
 import json
 import urllib.request
 import numpy as np

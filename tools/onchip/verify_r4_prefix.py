@@ -1,0 +1,76 @@
+"""Verify on the real TPU: cross-question prefill reuse (VideoPrefix).
+
+2B geometry, 256-frame requests (big enough for several video chunks +
+PivotKV at the production config): capture once, answer three questions —
+token parity vs the inline path per question, plus the suffix TTFT that the
+bench reports as the amortized win.
+"""
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+import json
+import time
+
+import numpy as np
+
+import jax
+
+print("devices:", jax.devices(), flush=True)
+
+import bench
+from retake_tpu.runtime.engine import Qwen2VLEngine, PrefixMismatch
+from retake_tpu.utils.config import RetakeConfig
+
+
+def main():
+    bench._wait_for_hbm(8)
+    cfg, params = bench.build_model()
+    eng = Qwen2VLEngine(cfg, params, RetakeConfig.from_dict(bench.RETAKE_CONFIG))
+    ids, patches, grid = bench.build_request(cfg, num_frames=256)
+    vid_end = int(np.where(ids == cfg.vision_end_token_id)[0][0])
+    rng = np.random.default_rng(42)
+
+    def question_ids(n=48):
+        q = rng.integers(10, 1000, size=n).astype(np.int64)
+        return np.concatenate([ids[: vid_end + 1], q])
+
+    t0 = time.perf_counter()
+    vp = eng.encode_prefix(ids, patches, grid, max_new_tokens=16)
+    t_capture = time.perf_counter() - t0
+
+    suffix_ts = []
+    for i in range(3):
+        ids_q = question_ids() if i else ids
+        inline = eng.generate(ids_q, patches, grid, max_new_tokens=16)
+        reused = eng.generate(ids_q, prefix=vp, max_new_tokens=16)
+        assert np.array_equal(inline.tokens, reused.tokens), (
+            i, inline.tokens.tolist(), reused.tokens.tolist()
+        )
+        assert reused.cache_len == inline.cache_len
+        suffix_ts.append(reused.prefill_seconds)
+        print(f"q{i}: parity ok, suffix_ttft={reused.prefill_seconds:.3f}s "
+              f"(inline {inline.prefill_seconds:.3f}s)", flush=True)
+
+    # a much longer question changes the dynamic compression ratio's plan
+    # -> loud PrefixMismatch, never silent drift
+    try:
+        eng.generate(question_ids(n=4096), prefix=vp, max_new_tokens=4)
+        raise SystemExit("FAIL: expected PrefixMismatch for a 4096-tok question")
+    except PrefixMismatch as e:
+        print("mismatch ok:", str(e)[:80], flush=True)
+
+    rec = {
+        "capture_s": round(t_capture, 3),
+        "suffix_ttft_s": round(min(suffix_ts[1:]), 3),  # [0] pays compiles
+        "amortized_3q_s": round((t_capture + 3 * min(suffix_ts[1:])) / 3, 3),
+        "parity": "exact",
+    }
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

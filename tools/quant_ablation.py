@@ -17,12 +17,12 @@ Usage:
       --frames 256 --max-new-tokens 64
   python tools/quant_ablation.py --random-weights   # path smoke test
 """
+from __future__ import annotations
+
 import os as _os, sys as _sys
 _REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 if _REPO not in _sys.path:
     _sys.path.insert(0, _REPO)
-
-from __future__ import annotations
 
 import argparse
 

@@ -166,7 +166,7 @@ def run_long_admission(eng, max_new=192):
     }), flush=True)
 
 
-def run_mixed_decode_impl(eng, max_new=256):
+def run_mixed_decode_impl(eng, max_new=256, impls=("xla", "pallas")):
     """End-to-end serving TPOT A/B for the dead-block-skipping decode
     kernel: mixed-length tenants (64-frame and 1024-frame requests) under
     ONE long shared bucket, steady-state decode, decode_attn_impl xla vs
@@ -181,7 +181,7 @@ def run_mixed_decode_impl(eng, max_new=256):
     kw = dict(batch_slots=4, segment_steps=32, max_new_tokens=max_new,
               prefill_bucket=32768 + 8192, interleave_prefill=False)
     out = {}
-    for impl in ("xla", "pallas"):
+    for impl in impls:
         ContinuousServer(eng, decode_attn_impl=impl, **kw).run(
             [dict(r) for r in reqs])  # compile
         server = ContinuousServer(eng, decode_attn_impl=impl, **kw)
@@ -199,11 +199,12 @@ def run_mixed_decode_impl(eng, max_new=256):
             "wall_s": round(wall, 2),
         }
         print(json.dumps({impl: out[impl]}), flush=True)
-    print(json.dumps({
-        "pallas_decode_speedup":
-            round(out["pallas"]["decode_tok_s"]
-                  / out["xla"]["decode_tok_s"], 3),
-    }), flush=True)
+    if "xla" in out and "pallas" in out:
+        print(json.dumps({
+            "pallas_decode_speedup":
+                round(out["pallas"]["decode_tok_s"]
+                      / out["xla"]["decode_tok_s"], 3),
+        }), flush=True)
 
 
 def main():
@@ -213,6 +214,11 @@ def main():
     p.add_argument("--mixed_impl", action="store_true",
                    help="mixed-length tenants: decode_attn_impl xla vs "
                         "pallas end-to-end serving TPOT")
+    p.add_argument("--impl", choices=["xla", "pallas", "both"],
+                   default="both",
+                   help="mixed_impl arm selection: run ONE impl per process "
+                        "(the two arms' servers pin too much HBM to share "
+                        "a 16 GB client — OOM observed 2026-08-19)")
     p.add_argument("--long_admission", action="store_true",
                    help="interleaved-prefill A/B: short request decoding "
                         "while a 512-frame request is admitted")
@@ -237,7 +243,8 @@ def main():
         run_long_admission(eng)
         return
     if args.mixed_impl:
-        run_mixed_decode_impl(eng)
+        impls = ("xla", "pallas") if args.impl == "both" else (args.impl,)
+        run_mixed_decode_impl(eng, impls=impls)
         return
     if not args.poisson:
         throughput_curve(eng, reqs)
