@@ -995,9 +995,13 @@ class Qwen2VLEngine:
     ) -> List[GenerationResult]:
         """Serve several requests: sequential prefill, batched decode.
 
-        Each request is a dict of ``generate`` kwargs (a per-request
-        ``max_new_tokens`` is overridden — the batch decodes a uniform step
-        count). Prefill is MXU-bound at batch 1 (large chunk matmuls), so
+        Each request is a dict of ``generate`` kwargs. A per-request
+        ``max_new_tokens`` is honored: the batch decodes a uniform step
+        count (the max over requests) and each result is trimmed to its
+        own limit harvest-side — token-exact vs sequential ``generate``
+        because both greedy and sampled tokens are prefix-stable (sampling
+        keys derive from the request-own step, not the batch step).
+        Prefill is MXU-bound at batch 1 (large chunk matmuls), so
         requests prefill back-to-back; decode is HBM-bound, so all requests
         then decode together in one scanned batched loop over gap-layout
         caches (engine.decode_batch). Greedy decode is token-exact vs
@@ -1027,20 +1031,27 @@ class Qwen2VLEngine:
                 "sequential generate is only guaranteed for the default "
                 "'pallas'/'flash' impls", stacklevel=2,
             )
-        max_new_tokens = max_new_tokens or self.retake.max_new_tokens
+        default_max = max_new_tokens or self.retake.max_new_tokens
+        req_max = [int(req.get("max_new_tokens") or default_max)
+                   for req in requests]
+        batch_max = max(req_max)
         states = [
             self.generate(**{k: v for k, v in req.items()
                              if k != "max_new_tokens"},
-                          max_new_tokens=max_new_tokens, _prefill_only=True)
+                          max_new_tokens=batch_max, _prefill_only=True)
             for req in requests
         ]
         # NB: deliberately NOT forwarding self.attn_impl — bucket-grouped
         # batched decode measured fastest (and stays token-exact vs the
         # sequential path) on the einsum; see decode_batch's attn_impl note.
-        return decode_batch(
-            self.params, self.cfg, self.retake, states, max_new_tokens,
+        results = decode_batch(
+            self.params, self.cfg, self.retake, states, batch_max,
             early_stop=bool(getattr(self.retake, "decode_early_stop", False)),
         )
+        for res, m in zip(results, req_max):
+            if len(res.tokens) > m:
+                res.tokens = res.tokens[:m]
+        return results
 
     def generate(
         self,

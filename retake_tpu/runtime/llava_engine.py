@@ -438,19 +438,31 @@ class LlavaOnevisionEngine:
         requests: list,
         max_new_tokens: Optional[int] = None,
     ) -> list:
-        """Sequential prefill + one batched decode (engine.decode_batch)."""
-        max_new_tokens = max_new_tokens or self.retake.max_new_tokens
+        """Sequential prefill + one batched decode (engine.decode_batch).
+
+        Per-request ``max_new_tokens`` honored like Qwen2VLEngine: decode to
+        the batch max, trim each result harvest-side (prefix-stable tokens).
+        """
+        default_max = max_new_tokens or self.retake.max_new_tokens
+        req_max = [int(req.get("max_new_tokens") or default_max)
+                   for req in requests]
+        batch_max = max(req_max) if req_max else default_max
         states = [
-            self.generate(**req, max_new_tokens=max_new_tokens,
-                          _prefill_only=True)
+            self.generate(**{k: v for k, v in req.items()
+                             if k != "max_new_tokens"},
+                          max_new_tokens=batch_max, _prefill_only=True)
             for req in requests
         ]
         # einsum decode path regardless of prefill impl — see
         # engine.decode_batch's attn_impl note
-        return decode_batch(
-            self.params, self.cfg.text, self.retake, states, max_new_tokens,
+        results = decode_batch(
+            self.params, self.cfg.text, self.retake, states, batch_max,
             early_stop=bool(getattr(self.retake, "decode_early_stop", False)),
         )
+        for res, m in zip(results, req_max):
+            if len(res.tokens) > m:
+                res.tokens = res.tokens[:m]
+        return results
 
 
 def load_llava_engine(hf_path: str, rt: RetakeConfig) -> LlavaOnevisionEngine:

@@ -440,6 +440,40 @@ def test_generate_batch_eos_first_token(tiny, rng):
     assert engine.generate_batch([]) == []
 
 
+def test_generate_batch_per_request_max_new_tokens(tiny, rng):
+    """Per-request max_new_tokens is honored (trimmed harvest-side), not
+    silently overridden by the batch-wide value: each result is token-exact
+    vs sequential generate at ITS OWN limit."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    maxes = (2, 6, 4)
+    reqs = []
+    for grid_t, plen, m in zip((2, 4, 2), (5, 3, 8), maxes):
+        ids, patches, grid = make_video_request(
+            cfg, rng, grid_t=grid_t, prompt_len=plen
+        )
+        reqs.append(
+            dict(input_ids=ids, pixel_values_videos=patches,
+                 video_grid_thw=grid, max_new_tokens=m)
+        )
+    seq = [engine.generate(**r) for r in reqs]
+    batch = engine.generate_batch(reqs)  # no batch-wide value: per-request
+    for b, s, m in zip(batch, seq, maxes):
+        assert len(b.tokens) <= m
+        np.testing.assert_array_equal(b.tokens, s.tokens)
+    # batch-wide default still applies to requests without their own limit
+    del reqs[1]["max_new_tokens"]
+    seq1 = engine.generate(**reqs[1], max_new_tokens=3)
+    batch = engine.generate_batch(reqs, max_new_tokens=3)
+    np.testing.assert_array_equal(batch[1].tokens, seq1.tokens)
+    # reqs[0] keeps its own limit (2) even though the batch-wide default is 3
+    np.testing.assert_array_equal(batch[0].tokens, seq[0].tokens)
+
+
 def test_generate_batch_mixed_text_only_and_video(tiny, rng):
     """A text-only request (no video) batches with video requests; batched
     greedy tokens match sequential for both."""

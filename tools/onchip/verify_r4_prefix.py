@@ -55,11 +55,20 @@ def main():
         print(f"q{i}: parity ok, suffix_ttft={reused.prefill_seconds:.3f}s "
               f"(inline {inline.prefill_seconds:.3f}s)", flush=True)
 
-    # a much longer question changes the dynamic compression ratio's plan
-    # -> loud PrefixMismatch, never silent drift
+    # a question long enough to outgrow the captured cache budget must raise
+    # a loud PrefixMismatch, never silently drift. (A merely "long" question
+    # is NOT enough: at 256 frames a +4k-token suffix still resolves the
+    # dynamic compression ratio identically AND fits the 8192-bucketed
+    # budget, so reuse legitimately — and token-exactly — succeeds; the
+    # first run of this script expected a mismatch there and "failed".
+    # Overflow the budget deterministically instead.)
+    n_over = vp.budget - vp.final_len + 256
     try:
-        eng.generate(question_ids(n=4096), prefix=vp, max_new_tokens=4)
-        raise SystemExit("FAIL: expected PrefixMismatch for a 4096-tok question")
+        eng.generate(question_ids(n=n_over), prefix=vp, max_new_tokens=4)
+        raise SystemExit(
+            f"FAIL: expected PrefixMismatch at suffix len {n_over} "
+            f"(budget {vp.budget}, final_len {vp.final_len})"
+        )
     except PrefixMismatch as e:
         print("mismatch ok:", str(e)[:80], flush=True)
 

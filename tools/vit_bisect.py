@@ -1,7 +1,11 @@
-"""TPU bisection of the Qwen2-VL ViT block cost (13.5 s of TTFT at 44% MXU).
+"""TPU bisection of the Qwen2-VL ViT chunk cost at 2B geometry.
 
-Times one 128-frame _vit_chunk and ablated variants to find the non-matmul
-overhead: attention, rotary, fp32 layernorms.
+Times one 128-frame vision chunk and ablated variants to find the non-matmul
+overhead (attention, rotary, fp32 layernorms), then prints the analytic
+matmul-only floor at the machine's measured bf16 ceiling (126 TF/s on this
+v5e, tools/int8_matmul_bench.py) so the vision stage's distance from
+speed-of-light is a recorded number, like tools/llm_bisect.py does for the
+LLM chunk step. Record the output in bench.py detail + CLAUDE.md.
 """
 
 import time
@@ -99,3 +103,41 @@ for mode in ("full", "no_attn", "no_rope", "no_attn_rope", "ln_bf16",
 jit_real = jax.jit(lambda vp, p: vision.vision_tower(vp, vcfg, p, GT, GH, GW))
 t_real = timeit(lambda: jit_real(vp, patches))
 print(f"vision_tower : {t_real*1e3:8.1f} ms (incl. merger)", flush=True)
+
+# ---- analytic matmul floor -------------------------------------------------
+# Linear-layer FLOPs from the actual weight shapes; attention FLOPs from the
+# block-diagonal structure (full attention within each temporal group of
+# hw tokens; 2 matmuls, q@k^T and p@v). Floor = FLOPs / measured bf16 ceiling.
+BF16_CEILING_TFS = 126.0  # v5e measured, 8k^3 matmul (CLAUDE.md)
+tokens = GT * hw
+d = vcfg.embed_dim
+L = vp["blocks"]["qkv"]["w"].shape[0]
+per_tok_blk = 0
+for name in ("qkv", "proj", "fc1", "fc2"):
+    _, rows, cols = vp["blocks"][name]["w"].shape
+    per_tok_blk += 2 * rows * cols
+linear_flops = tokens * L * per_tok_blk
+linear_flops += 2 * tokens * patches.shape[1] * d  # patch embed
+# merger: 2x2 spatial merge -> tokens/4 rows through its mlp
+merge_rows = tokens // (vcfg.spatial_merge_size**2)
+for w in jax.tree.leaves(vp["merger"]):
+    if getattr(w, "ndim", 0) == 2:
+        linear_flops += 2 * merge_rows * w.shape[0] * w.shape[1]
+attn_flops = L * 4 * GT * vcfg.num_heads * hw * hw * vcfg.head_dim
+total_flops = linear_flops + attn_flops
+floor_ms = total_flops / (BF16_CEILING_TFS * 1e12) * 1e3
+lin_floor_ms = linear_flops / (BF16_CEILING_TFS * 1e12) * 1e3
+print(
+    f"analytic floor: {floor_ms:8.1f} ms / chunk "
+    f"({total_flops/1e12:.2f} TF = {linear_flops/1e12:.2f} linear "
+    f"+ {attn_flops/1e12:.2f} attn @ {BF16_CEILING_TFS:.0f} TF/s); "
+    f"linear-only {lin_floor_ms:.1f} ms",
+    flush=True,
+)
+print(
+    f"vision_tower vs floor: {t_real*1e3:.1f} / {floor_ms:.1f} ms "
+    f"= {t_real*1e3/floor_ms:.2f}x "
+    f"(MXU util {total_flops/(t_real*1e12)/BF16_CEILING_TFS*100:.0f}% "
+    f"of measured ceiling)",
+    flush=True,
+)
