@@ -1085,6 +1085,17 @@ class Qwen2VLEngine:
                 "generate(prefix=...) replaces both the pixels and the "
                 "video_features inputs"
             )
+            # positions are computed from the CAPTURED grid below, so a
+            # prompt whose video span diverges from the capture must fail
+            # loudly HERE, before get_rope_index sees inconsistent ids
+            n_vid = int(np.sum(ids == cfg.video_token_id))
+            n_expected = prefix.features.t * prefix.features.hw
+            if n_vid != n_expected:
+                raise PrefixMismatch(
+                    f"prompt has {n_vid} video tokens but the captured "
+                    f"prefix has {n_expected} (different video/frame count "
+                    "under the same prefix?)"
+                )
             video_grid_thw = np.asarray([prefix.features.grid])
         if pixel_values_videos is None and video_features is not None:
             # reuse path: the grid rides in the features
@@ -1175,6 +1186,7 @@ class Qwen2VLEngine:
         video_features: Optional[VideoFeatures] = None,
         max_new_tokens: Optional[int] = None,
         reserve_tokens: int = 512,
+        on_dispatch=None,  # serving hook, forwarded to generate()
     ) -> VideoPrefix:
         """Run vision + the question-independent video prefill ONCE and
         snapshot the compressed KV cache (VideoPrefix). Subsequent
@@ -1192,7 +1204,7 @@ class Qwen2VLEngine:
         return self.generate(
             input_ids, pixel_values_videos, video_grid_thw,
             max_new_tokens=max_new_tokens, video_features=video_features,
-            _capture_reserve=int(reserve_tokens),
+            _capture_reserve=int(reserve_tokens), on_dispatch=on_dispatch,
         )
 
 

@@ -89,6 +89,8 @@ class RetakeHTTPServer:
                     body = json.dumps(dict(
                         outer.server.stats,
                         vision_cache_entries=len(outer.server._vision_cache),
+                        prefix_cache_entries=len(
+                            getattr(outer.server, "_prefix_cache", ())),
                         uptime_s=round(
                             __import__("time").time() - outer._t_start, 1),
                     )).encode()
@@ -160,6 +162,8 @@ class RetakeHTTPServer:
         # token count) and must not hit the other's features
         fps = float(body.get("extraction_fps", 25.0))
         cache_key = f"{path}|fps={fps}"
+        cache_on = (self.server.vision_cache_slots > 0
+                    or getattr(self.server, "prefix_cache_slots", 0) > 0)
         feats = None
         if path and self.server.vision_cache_slots > 0:
             # peek the worker's vision cache: a hit skips BOTH the host
@@ -167,6 +171,13 @@ class RetakeHTTPServer:
             # re-encode. The reference (grabbed here) is a strong ref, so
             # a concurrent eviction cannot strand the request.
             feats = self.server._vision_cache.get(cache_key)
+        if feats is None and path and getattr(
+                self.server, "prefix_cache_slots", 0) > 0:
+            # a cached VideoPrefix also carries the features (its mismatch
+            # fallback) — frame loading can be skipped on a prefix hit too
+            vp = self.server._prefix_cache.get(cache_key)
+            if vp is not None:
+                feats = vp.features
         if feats is not None:
             if feats.grid is not None:  # Qwen2-VL family
                 inputs = self.processor(question, video_grid=feats.grid)
@@ -185,7 +196,7 @@ class RetakeHTTPServer:
             )
             inputs = self.processor(question, frames)
             req = {k: v for k, v in inputs.items() if v is not None}
-            if self.server.vision_cache_slots > 0:
+            if cache_on:
                 req["video_key"] = cache_key
         else:
             inputs = self.processor(question)

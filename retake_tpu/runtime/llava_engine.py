@@ -28,6 +28,7 @@ from retake_tpu.models.llava_onevision.config import LlavaOnevisionConfig
 from retake_tpu.ops import dpselect
 from retake_tpu.runtime.engine import (
     GenerationResult,
+    PrefixMismatch,
     VideoFeatures,
     _dpselect_mask,  # shared ratio-1.0 mask-only DPSelect
     _write_rows,  # shared donated streaming-buffer insert (rank-generic)
@@ -358,6 +359,16 @@ class LlavaOnevisionEngine:
             # 265); the video KV already lives in the prefix cache
             vf = prefix.features
             t, tgt = vf.t, vf.tgt
+            # the placeholder-span truncation below assumes the capture's
+            # frame count; a diverging prompt must fail loudly HERE
+            n_vid = int(np.sum(ids == cfg.video_token_id))
+            n_expected = t * cfg.tokens_per_frame + 1
+            if n_vid != n_expected:
+                raise PrefixMismatch(
+                    f"prompt has {n_vid} video tokens but the captured "
+                    f"prefix has {n_expected} (different video/frame count "
+                    "under the same prefix?)"
+                )
             num_frames = t
             if tgt != t:
                 vi = np.where(ids == cfg.video_token_id)[0]
@@ -424,13 +435,14 @@ class LlavaOnevisionEngine:
         video_features: Optional[VideoFeatures] = None,
         max_new_tokens: Optional[int] = None,
         reserve_tokens: int = 512,
+        on_dispatch=None,  # serving hook, forwarded to generate()
     ):
         """Capture the question-independent video prefill as an
         engine.VideoPrefix — see Qwen2VLEngine.encode_prefix."""
         return self.generate(
             input_ids, pixel_values_videos,
             max_new_tokens=max_new_tokens, video_features=video_features,
-            _capture_reserve=int(reserve_tokens),
+            _capture_reserve=int(reserve_tokens), on_dispatch=on_dispatch,
         )
 
     def generate_batch(

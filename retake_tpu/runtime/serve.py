@@ -58,6 +58,7 @@ import os as _os
 
 from retake_tpu.runtime.engine import (
     PrefillState,
+    PrefixMismatch,
     _attn_bucket,
     _decode_loop_batch,
     _insert_batch_slot,
@@ -177,6 +178,8 @@ class ContinuousServer:
         interleave_segments_per_hook: int = 1,
         decode_attn_impl: str = "xla",
         vision_cache_slots: int = 0,
+        prefix_cache_slots: int = 0,
+        prefix_reserve_tokens: int = 512,
     ):
         self.engine = engine
         self.cfg = getattr(engine.cfg, "text", engine.cfg)
@@ -190,6 +193,24 @@ class ContinuousServer:
         # LLM-space embeddings in HBM (~1 GB at 2B/2048f).
         self.vision_cache_slots = int(vision_cache_slots)
         self._vision_cache: Dict[str, object] = {}
+        # VideoPrefix LRU (engine.encode_prefix artifacts): extends the
+        # vision cache to the FULL question-independent prefill — a keyed
+        # re-ask of the same video pays only the trailing text segment
+        # (on-chip at 2B/256f: 0.13 s suffix vs 1.6 s inline, token-exact;
+        # tools/onchip/verify_r4_prefix.py). The engine re-validates every
+        # reuse (prefix ids + plan signature + budget) and the admission
+        # falls back to the inline path on PrefixMismatch, so a stale or
+        # mismatched entry can never produce wrong tokens. Each cached
+        # prefix pins its compressed KV cache in HBM (~0.7 GB at 2B/32k
+        # budget bf16; half that with kv_cache_dtype int8) PLUS its
+        # features' embeddings (the mismatch fallback) — budget slots
+        # accordingly. Captures cost one extra suffix re-plan vs a plain
+        # prefill; requires prompt_guided_compression off (else disabled
+        # on first attempt, loudly in stats).
+        self.prefix_cache_slots = int(prefix_cache_slots)
+        self.prefix_reserve = int(prefix_reserve_tokens)
+        self._prefix_cache: Dict[str, object] = {}
+        self._prefix_disabled = False  # set on config-level ValueError
         # observability counters (served by the HTTP layer's /metrics);
         # only the serving-loop thread writes them
         self.stats: Dict[str, int] = {
@@ -197,7 +218,9 @@ class ContinuousServer:
             "requests_cancelled": 0, "requests_rejected_deadline": 0,
             "tokens_emitted": 0, "segments_dispatched": 0,
             "compactions": 0, "vision_cache_hits": 0,
-            "vision_cache_misses": 0,
+            "vision_cache_misses": 0, "prefix_cache_hits": 0,
+            "prefix_cache_misses": 0, "prefix_mismatch_fallbacks": 0,
+            "prefix_capture_failures": 0,
         }
         self.b = int(batch_slots)
         self.seg = int(segment_steps)
@@ -546,6 +569,59 @@ class ContinuousServer:
         req["video_features"] = feats
         return req
 
+    def _maybe_reuse_prefix(self, key, req: dict, req_max: int):
+        """Return a cached (or freshly captured) VideoPrefix for ``key``,
+        or None to take the inline path. Runs on the serving-loop thread.
+
+        Miss + video content in the request => capture via encode_prefix
+        (vision + the question-independent video prefill, once) and cache
+        it; the admission then pays only the trailing text segment — and so
+        does every later request with the same key. Token-exact: the engine
+        re-validates the plan per question (PrefixMismatch on divergence,
+        handled by the admission's inline fallback)."""
+        if key is None or self.prefix_cache_slots <= 0 or self._prefix_disabled:
+            return None
+        if req.get("pixel_values") is not None:
+            # mixed image+video prompts: image embeds ride OUTSIDE the
+            # prefix artifact; take the inline path rather than reason about
+            # image-segment placement relative to the captured video span
+            return None
+        vp = self._prefix_cache.pop(key, None)
+        if vp is not None:
+            self._prefix_cache[key] = vp  # pop+reinsert = LRU bump
+            self.stats["prefix_cache_hits"] += 1
+            return vp
+        self.stats["prefix_cache_misses"] += 1
+        if (req.get("pixel_values_videos") is None
+                and req.get("video_features") is None):
+            return None  # nothing to capture from (e.g. text-only request)
+        try:
+            vp = self.engine.encode_prefix(
+                req["input_ids"], req.get("pixel_values_videos"),
+                req.get("video_grid_thw"),
+                video_features=req.get("video_features"),
+                # size the captured budget for the server's LARGEST
+                # per-request token allowance, so later requests with a
+                # bigger max_new_tokens than this one still fit
+                max_new_tokens=max(self.max_new, req_max),
+                reserve_tokens=self.prefix_reserve,
+                on_dispatch=(self._on_prefill_dispatch
+                             if self.interleave else None),
+            )
+        except ValueError as e:
+            # prompt-shape-level (no video span / video span at the prompt
+            # end) fails only THIS capture; config-level (prompt-guided
+            # compression folds the question into every video chunk)
+            # disables the cache for the server's lifetime.
+            self.stats["prefix_capture_failures"] += 1
+            if "prompt_guided" in str(e):
+                self._prefix_disabled = True
+            return None
+        self._prefix_cache[key] = vp
+        while len(self._prefix_cache) > self.prefix_cache_slots:
+            self._prefix_cache.pop(next(iter(self._prefix_cache)))
+        return vp
+
     def start_online(self, max_queue: Optional[int] = None) -> "OnlineHandle":
         """Online mode: a worker thread runs the serving loop; callers
         ``submit()`` requests from any thread and get a Future[ServeResult]
@@ -617,6 +693,7 @@ class ContinuousServer:
                     continue
                 t_pf = now()
                 try:
+                    video_key = req.get("video_key")  # popped by the next call
                     req = self._maybe_reuse_vision(req)
                     # per-request token budget: a request may carry its own
                     # max_new_tokens (server default otherwise). The engine
@@ -624,13 +701,34 @@ class ContinuousServer:
                     # _admit assertion (attn_need <= p_bucket) re-checks the
                     # compaction-fold invariant final_len + max_new <= P.
                     req_max = int(req.get("max_new_tokens") or self.max_new)
-                    st = self.engine.generate(
-                        **{k: v for k, v in req.items()
-                           if k != "max_new_tokens"},
-                        max_new_tokens=req_max, _prefill_only=True,
-                        on_dispatch=(self._on_prefill_dispatch
-                                     if self.interleave else None),
-                    )
+                    hook = (self._on_prefill_dispatch
+                            if self.interleave else None)
+                    vp = self._maybe_reuse_prefix(video_key, req, req_max)
+                    st = None
+                    if vp is not None:
+                        try:
+                            st = self.engine.generate(
+                                req["input_ids"], prefix=vp,
+                                max_new_tokens=req_max, _prefill_only=True,
+                                on_dispatch=hook,
+                            )
+                        except PrefixMismatch:
+                            # diverging plan (longer question, bigger token
+                            # budget, ...): pay the inline prefill instead —
+                            # correctness never depends on the cache. A
+                            # pixel-less keyed request still has the video:
+                            # the prefix's own features are the fallback.
+                            self.stats["prefix_mismatch_fallbacks"] += 1
+                            if (req.get("pixel_values_videos") is None
+                                    and req.get("video_features") is None):
+                                req["video_features"] = vp.features
+                    if st is None:
+                        st = self.engine.generate(
+                            **{k: v for k, v in req.items()
+                               if k != "max_new_tokens"},
+                            max_new_tokens=req_max, _prefill_only=True,
+                            on_dispatch=hook,
+                        )
                 except Exception as e:
                     if not isolate_errors:
                         raise

@@ -175,6 +175,67 @@ def test_http_vision_cache(tiny, frame_dir):  # noqa: F811
         Eng.encode_video = orig
 
 
+def test_http_prefix_cache(tiny, frame_dir):  # noqa: F811
+    """prefix_cache_slots over HTTP: a re-ask of the same video_path skips
+    frame loading, vision, AND the video prefill (VideoPrefix hit) — tokens
+    identical to the capturing request for the same question."""
+    from retake_tpu.runtime.engine import Qwen2VLEngine as Eng
+
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"max_new_tokens": 6, "max_num_frames": 8, "sample_fps": 2,
+         "longsize_resolution": 84,
+         "longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    processor = Qwen2VLProcessor(
+        StubTokenizer(),
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        video_token_id=cfg.video_token_id,
+        patch_size=cfg.vision.patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        min_pixels=1,
+    )
+    n_enc = {"n": 0}
+    orig = Eng.encode_video
+
+    def counting(self, *a, **kw):
+        n_enc["n"] += 1
+        return orig(self, *a, **kw)
+
+    Eng.encode_video = counting
+    try:
+        with RetakeHTTPServer(
+            engine, processor, rt, port=0,
+            batch_slots=2, segment_steps=3, max_new_tokens=6,
+            gap_capacity=64, prefix_cache_slots=1,
+        ) as srv:
+            base = f"http://127.0.0.1:{srv.port}"
+            body = {"question": "Q one? A. x B. y",
+                    "video_path": frame_dir, "extraction_fps": 2}
+            with _post(base + "/v1/generate", body) as r:
+                out1 = json.loads(r.read())  # miss: captures the prefix
+            with _post(base + "/v1/generate", dict(body)) as r:
+                out2 = json.loads(r.read())  # hit: suffix-only prefill
+            assert n_enc["n"] == 1  # capture encoded once; hit skipped all
+            assert out1["tokens"] == out2["tokens"]  # token-exact reuse
+            # different question, same video: still a prefix hit
+            with _post(base + "/v1/generate",
+                       dict(body, question="Q two? A. p B. q")) as r:
+                out3 = json.loads(r.read())
+            assert n_enc["n"] == 1 and out3["tokens"]
+            with urllib.request.urlopen(base + "/metrics") as r:
+                m = json.loads(r.read())
+            assert m["prefix_cache_misses"] == 1
+            assert m["prefix_cache_hits"] == 2
+            assert m["prefix_cache_entries"] == 1
+    finally:
+        Eng.encode_video = orig
+
+
 def test_http_metrics(tiny, frame_dir):  # noqa: F811
     """GET /metrics: serving counters consistent with the work done."""
     _, cfg, params = tiny

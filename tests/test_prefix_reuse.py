@@ -219,6 +219,43 @@ def test_qwen_prefix_batched_decode(qwen, rng):
         np.testing.assert_array_equal(b.tokens, s.tokens)
 
 
+def test_qwen_prefix_reuse_int8_kv(qwen, rng):
+    """kv_cache_dtype: int8 — the VideoPrefix snapshot carries the k/v
+    scale planes (the cache fork is a whole-pytree copy), and reuse stays
+    token-exact: inline and reuse share byte-identical int8 cache contents
+    for the prefix steps (single rounding site), so the suffix prefill and
+    decode see the same numerics."""
+    cfg, params = qwen
+    rt = RetakeConfig.from_dict(
+        {"kv_cache_dtype": "int8",
+         "longvideo_kwargs": {
+             "frame_chunk_size": 4, "chunked_prefill_frames": 2,
+             "kvcache_compression": True,
+             "kvcache_compression_kwargs": {
+                 "compression_ratio": 0.5,
+                 "compression_method": "pivotkv",
+                 "pos_embed_reforge": True,
+             },
+         }}
+    )
+    eng = Qwen2VLEngine(cfg, params, rt)
+    ids1, patches, grid = _qwen_request(cfg, rng, [20, 21, 22, 23, 24])
+    ids2, _, _ = _qwen_request(cfg, rng, [30, 31, 32, 33, 34, 35, 36, 37])
+    prefix = eng.encode_prefix(ids1, patches, grid, max_new_tokens=6)
+    assert prefix.cache.k.dtype == jnp.int8
+    assert prefix.cache.k_scale is not None
+    for ids in (ids1, ids2):
+        inline = eng.generate(ids, patches, grid, max_new_tokens=6)
+        reused = eng.generate(ids, prefix=prefix, max_new_tokens=6)
+        np.testing.assert_array_equal(reused.tokens, inline.tokens)
+        assert reused.cache_len == inline.cache_len
+    # snapshot integrity under int8: reuse must not have mutated the scales
+    again = eng.generate(ids1, prefix=prefix, max_new_tokens=6)
+    np.testing.assert_array_equal(
+        again.tokens, eng.generate(ids1, patches, grid, max_new_tokens=6).tokens
+    )
+
+
 def test_llava_prefix_reuse_token_exact(llava, rng):
     """LLaVA family: token-exact reuse across two questions, including the
     tgt != t placeholder-truncation path and 1-D positions."""

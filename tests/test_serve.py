@@ -665,6 +665,148 @@ def test_serve_vision_cache_reuses_encode(tiny, rng, monkeypatch):
     assert "vidA" not in server._vision_cache
 
 
+def test_serve_prefix_cache_reuses_prefill(tiny, rng, monkeypatch):
+    """prefix_cache_slots: requests sharing a video_key capture the
+    question-independent prefill (VideoPrefix) once — later keyed requests
+    skip vision AND the video prefill, token-exact vs solo generate. A
+    keyed request whose video span diverges falls back inline via
+    PrefixMismatch (never wrong tokens), and a pixel-less keyed request
+    rides the cached artifact entirely."""
+    from retake_tpu.runtime.engine import Qwen2VLEngine as Eng
+
+    engine, _ = _build(tiny, rng, n_reqs=0)
+    ids1, patches, grid = make_video_request(cfg=engine.cfg, rng=rng,
+                                             grid_t=2, prompt_len=4)
+    ids2, _, _ = make_video_request(cfg=engine.cfg, rng=rng,
+                                    grid_t=2, prompt_len=9)
+    # same video, different question (prefix through the video span matches)
+    n_vid = int(np.sum(ids1 == engine.cfg.video_token_id))
+    v0 = int(np.where(ids1 == engine.cfg.video_token_id)[0][0])
+    ids2 = np.concatenate([ids1[: v0 + n_vid + 1], ids2[-7:]])
+    reqs = [
+        dict(input_ids=ids1, pixel_values_videos=patches,
+             video_grid_thw=grid, video_key="vidA"),
+        dict(input_ids=ids2, pixel_values_videos=patches,
+             video_grid_thw=grid, video_key="vidA"),
+        # pixel-less re-ask: the cached prefix IS the video
+        dict(input_ids=ids2, video_key="vidA"),
+    ]
+    seq = [engine.generate(ids1, patches, grid, max_new_tokens=8),
+           engine.generate(ids2, patches, grid, max_new_tokens=8)]
+
+    n_enc = 0
+    orig = Eng.encode_video
+
+    def counting(self, *a, **kw):
+        nonlocal n_enc
+        n_enc += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Eng, "encode_video", counting)
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=8,
+        gap_capacity=64, prefix_cache_slots=1,
+    )
+    results = server.run(reqs)
+    assert n_enc == 1  # one capture; both re-asks skipped vision entirely
+    assert server.stats["prefix_cache_hits"] == 2
+    assert server.stats["prefix_cache_misses"] == 1
+    np.testing.assert_array_equal(results[0].tokens, seq[0].tokens)
+    np.testing.assert_array_equal(results[1].tokens, seq[1].tokens)
+    np.testing.assert_array_equal(results[2].tokens, seq[1].tokens)
+
+    # divergent video span under the SAME key: PrefixMismatch -> inline
+    # fallback, tokens still exact
+    ids3, patches3, grid3 = make_video_request(cfg=engine.cfg, rng=rng,
+                                               grid_t=4, prompt_len=4)
+    seq3 = engine.generate(ids3, patches3, grid3, max_new_tokens=8)
+    res3 = server.run([dict(input_ids=ids3, pixel_values_videos=patches3,
+                            video_grid_thw=grid3, video_key="vidA")])
+    assert server.stats["prefix_mismatch_fallbacks"] == 1
+    np.testing.assert_array_equal(res3[0].tokens, seq3.tokens)
+
+    # text-only keyed request: nothing to capture, graceful inline path
+    ids_t = rng.integers(10, 500, size=9).astype(np.int64)
+    seq_t = engine.generate(ids_t, max_new_tokens=8)
+    res_t = server.run([dict(input_ids=ids_t, video_key="vidT")])
+    np.testing.assert_array_equal(res_t[0].tokens, seq_t.tokens)
+
+
+def test_serve_prefix_cache_llava(rng):
+    """prefix_cache_slots is family-agnostic: the LLaVA engine exposes the
+    same encode_prefix/generate(prefix=...) surface, so keyed requests reuse
+    the question-independent SigLIP+prefill capture token-exactly —
+    including a pixel-less re-ask riding the cached artifact."""
+    from retake_tpu.models.llava_onevision import params as lparams_lib
+    from retake_tpu.models.llava_onevision.config import (
+        LlavaOnevisionConfig,
+        SiglipVisionConfig,
+    )
+    from retake_tpu.runtime.llava_engine import LlavaOnevisionEngine
+
+    cfg = LlavaOnevisionConfig(
+        text=Qwen2VLConfig(
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=4096, rope_theta=10000.0,
+            tie_word_embeddings=False, bos_token_id=0, eos_token_id=1,
+            mrope_section=None,
+        ),
+        vision=SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=16, patch_size=4,
+        ),
+        image_token_id=5, video_token_id=6,
+    )
+    params = lparams_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = LlavaOnevisionEngine(cfg, params, rt)
+    frames = 2
+    n_tok = frames * cfg.tokens_per_frame + 1
+    pre = rng.integers(10, 500, size=4).tolist()
+    vid = rng.integers(
+        0, 255,
+        size=(frames, cfg.vision.image_size, cfg.vision.image_size, 3),
+        dtype=np.uint8,
+    )
+    ids1 = np.array(pre + [cfg.video_token_id] * n_tok
+                    + rng.integers(10, 500, size=6).tolist(), dtype=np.int64)
+    ids2 = np.array(pre + [cfg.video_token_id] * n_tok
+                    + rng.integers(10, 500, size=4).tolist(), dtype=np.int64)
+    seq = [engine.generate(i, vid, max_new_tokens=6) for i in (ids1, ids2)]
+
+    n_enc = 0
+    orig = LlavaOnevisionEngine.encode_video
+
+    def counting(self, *a, **kw):
+        nonlocal n_enc
+        n_enc += 1
+        return orig(self, *a, **kw)
+
+    LlavaOnevisionEngine.encode_video = counting
+    try:
+        server = ContinuousServer(
+            engine, batch_slots=2, segment_steps=2, max_new_tokens=6,
+            gap_capacity=4, prefix_cache_slots=1,
+        )
+        results = server.run([
+            dict(input_ids=ids1, pixel_values_videos=vid, video_key="vidL"),
+            dict(input_ids=ids2, pixel_values_videos=vid, video_key="vidL"),
+            dict(input_ids=ids2, video_key="vidL"),  # pixel-less re-ask
+        ])
+    finally:
+        LlavaOnevisionEngine.encode_video = orig
+    assert n_enc == 1
+    assert server.stats["prefix_cache_hits"] == 2
+    assert server.stats["prefix_cache_misses"] == 1
+    np.testing.assert_array_equal(results[0].tokens, seq[0].tokens)
+    np.testing.assert_array_equal(results[1].tokens, seq[1].tokens)
+    np.testing.assert_array_equal(results[2].tokens, seq[1].tokens)
+
+
 def test_online_deadline_and_max_queue(tiny, rng):
     """deadline_s: a queued request whose deadline passed is rejected
     without a prefill; an in-flight request past its deadline cancels at

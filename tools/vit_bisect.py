@@ -8,6 +8,11 @@ speed-of-light is a recorded number, like tools/llm_bisect.py does for the
 LLM chunk step. Record the output in bench.py detail + CLAUDE.md.
 """
 
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import time
 from functools import partial
 
