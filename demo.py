@@ -63,6 +63,10 @@ def main():
                    help="enable prompt-lookup speculative decoding (the "
                         "gate's spec-parity stage compares tokens vs a "
                         "non-spec run)")
+    p.add_argument("--no-reuse", action="store_true",
+                   help="recompute vision + the full prefill per question "
+                        "(the reference's flow); the gate's prefix-parity "
+                        "stage compares its tokens vs the default reuse run")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random geometry (TINY_TEST_CONFIG) — CPU-fast "
                         "dry-run mode for the gate's own tests")
@@ -154,6 +158,30 @@ def main():
     answers = []
     token_streams = []
     for question, expected in zip(DEMO_QUESTIONS, EXPECTED_ANSWERS):
+        if args.no_reuse:
+            # the reference's flow: vision + the whole prefill per question
+            # (reference demo.py:158-164 re-calls chat() each time). The
+            # gate's prefix-parity stage pins this against the reuse run.
+            inputs = processor(question, frames)
+            t0 = time.perf_counter()
+            result = engine.generate(
+                inputs["input_ids"], inputs["pixel_values_videos"],
+                inputs["video_grid_thw"],
+                max_new_tokens=rt.max_new_tokens,
+            )
+            dt = time.perf_counter() - t0
+            decoded = processor.decode(result.tokens)
+            answers.append(trim_answer(decoded))
+            token_streams.append([int(t) for t in result.tokens])
+            print(f"\nQ: {question.splitlines()[0]}")
+            print(f"A: {decoded!r}")
+            print(f"expected: {expected}")
+            print(
+                f"[{dt:.1f}s total | prefill {result.prefill_seconds:.1f}s | "
+                f"input {result.input_len} tok -> cache "
+                f"{result.cache_len} tok]"
+            )
+            continue
         if features is None:
             inputs = processor(question, frames)
             grid = inputs["video_grid_thw"]

@@ -27,6 +27,8 @@ def test_gate_tiny_smoke():
     assert rec["demo"]["ok"] and len(rec["demo"]["tokens"]) == 3
     assert rec["spec_parity"]["ok"]
     assert rec["spec_parity"]["agree_prefix_lens"]
+    assert rec["prefix_parity"]["ok"]
+    assert rec["prefix_parity"]["token_exact"]
     assert rec["http_golden"]["ok"] and rec["http_golden"]["n_tokens"] > 0
 
 

@@ -150,6 +150,43 @@ def stage_spec(args, baseline=None):
     return out
 
 
+def stage_prefix(args, baseline=None):
+    """Prefix-reuse token parity: the default demo reuses the question-
+    independent prefill across its 3 questions (engine.VideoPrefix);
+    ``--no-reuse`` recomputes everything per question, the reference's flow
+    (/root/reference/demo.py:158-164). Reuse forks a byte-identical cache
+    snapshot, so the streams must be token-EXACT — any divergence on real
+    weights is a bug, not tolerance."""
+    if baseline is not None and not baseline.get("tokens"):
+        baseline = None  # a failed demo stage is no baseline
+    extra = ["--tiny"] if args.tiny_smoke else ["--hf_path", args.hf_path]
+    if args.video:
+        extra += ["--video", args.video]
+    if baseline is None:
+        rc, lines, err = _run(
+            ["demo.py", "--config", args.config, "--json"] + extra)
+        baseline = _last_json(lines) or {}
+        if rc != 0:
+            return {"ok": False, "error": err[-300:]}
+    rc, lines, err = _run(
+        ["demo.py", "--config", args.config, "--json", "--no-reuse"] + extra)
+    rec = _last_json(lines) or {}
+    if rc != 0:
+        return {"ok": False, "error": err[-300:]}
+    base_toks = baseline.get("tokens") or []
+    inline_toks = rec.get("tokens") or []
+    exact = (
+        len(base_toks) == len(inline_toks) > 0
+        and all(a == b for a, b in zip(base_toks, inline_toks))
+    )
+    return {
+        "answers_reuse": baseline.get("answers"),
+        "answers_inline": rec.get("answers"),
+        "token_exact": exact,
+        "ok": exact,
+    }
+
+
 def stage_http(args):
     """One golden question through the ONLINE serving stack (HTTP over a
     real socket, continuous batching underneath) — tools/gate_http_stage.py."""
@@ -217,7 +254,8 @@ def main():
                    help="min greedy-token agreement vs bf16 for each "
                         "quantized mode")
     p.add_argument("--skip", nargs="*", default=[],
-                   choices=["demo", "quant", "videomme", "spec", "http"])
+                   choices=["demo", "quant", "videomme", "spec", "http",
+                            "prefix"])
     p.add_argument("--tiny-smoke", action="store_true",
                    help="CPU dry-run of the gate itself on the tiny random "
                         "model (no checkpoint needed; exercised by "
@@ -238,6 +276,8 @@ def main():
         report["quant"] = stage_quant(args)
     if "spec" not in args.skip:
         report["spec_parity"] = stage_spec(args, baseline=demo_rec)
+    if "prefix" not in args.skip:
+        report["prefix_parity"] = stage_prefix(args, baseline=demo_rec)
     if "http" not in args.skip:
         report["http_golden"] = stage_http(args)
     if "videomme" not in args.skip:
