@@ -394,9 +394,22 @@ def decode_step_batch(
     inv_freq_np, attention_scaling = cfg.rope_params()
     inv_freq = jnp.asarray(inv_freq_np)
     b = hidden.shape[0]
+    # pallas path: the layer scan closes over the FULL stacked caches and
+    # hands the kernel a layer INDEX (scalar prefetch) — scanning the caches
+    # as xs hands each layer a dynamic-slice operand that XLA must
+    # MATERIALIZE for the Mosaic call (~2 x 172 MB HBM copies per layer at
+    # B=4/41k serving shapes; measured +17 ms/step — slower than the whole
+    # XLA-einsum step). The einsum path keeps the xs slices: XLA fuses the
+    # slice into the attention reads for free.
+    stacked = attn_impl in ("pallas", "flash")
 
     def body(hidden, xs):
-        lp, ck, cv, bt, cks, cvs = xs
+        if stacked:
+            lp, bt, li = xs
+            ck, cv, cks, cvs = k_all, v_all, ks_all, vs_all
+        else:
+            lp, ck, cv, bt, cks, cvs = xs
+            li = None
         row0 = bt + gap_filled  # [B]
         if cfg.mrope_section is None:
             cos, sin = rope.compute_cos_sin(
@@ -415,14 +428,17 @@ def decode_step_batch(
         attn = attn_ops.decode_attention_batch_gapped(
             q_rot.transpose(1, 0, 2), ck, cv, final_len, gap_start,
             gap_filled, k_b, v_b, k_scale=cks, v_scale=cvs,
-            dec_start=dec_start, impl=attn_impl,
+            dec_start=dec_start, layer=li, impl=attn_impl,
         )  # [B, H, D]
         hidden = _layer_out_mlp(cfg, lp, hidden, attn.reshape(b, -1), False)
         return hidden, (k_b, v_b)
 
-    hidden, (k_blocks, v_blocks) = jax.lax.scan(
-        body, hidden, (params["layers"], k_all, v_all, base_t, ks_all, vs_all)
-    )
+    if stacked:
+        xs = (params["layers"], base_t,
+              jnp.arange(k_all.shape[0], dtype=jnp.int32))
+    else:
+        xs = (params["layers"], k_all, v_all, base_t, ks_all, vs_all)
+    hidden, (k_blocks, v_blocks) = jax.lax.scan(body, hidden, xs)
     return hidden, k_blocks, v_blocks
 
 

@@ -220,6 +220,12 @@ def decode_attention_batch_gapped(
     dec_start=None,  # [B] int32 — per-slot decode-region start (continuous
     #   batching: a request admitted at global step t0 owns
     #   [gap_start + t0, write ptr)); None = gap_start for every slot
+    layer=None,  # scalar int32 — set when the caches are the FULL stacked
+    #   [L, B, KV, S, D] arrays: the pallas kernel then indexes the layer
+    #   via scalar prefetch instead of consuming a per-layer slice operand
+    #   (which XLA would have to MATERIALIZE — Mosaic calls can't fuse a
+    #   dynamic-slice producer; ~2 x 172 MB of HBM copies per layer at
+    #   serving shapes, more than the attention itself)
     impl: str = "xla",  # "pallas"/"flash": dead-block-skipping kernel
     #   (ops/pallas/decode_gapped.py) — HBM reads track the LIVE regions
     #   instead of B x bucket; "xla": full-bucket masked einsum. Kernel
@@ -248,7 +254,7 @@ def decode_attention_batch_gapped(
     ``decode_attention_appendfree``.
     """
     b, num_heads, head_dim = query.shape
-    num_kv, s = key_cache.shape[1], key_cache.shape[2]
+    num_kv, s = key_cache.shape[-3], key_cache.shape[-2]
     group = num_heads // num_kv
     q = query.reshape(b, num_kv, group, head_dim)
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
@@ -264,7 +270,7 @@ def decode_attention_batch_gapped(
         )
         acc, m, l = decode_gapped_flash_state(
             q, key_cache, value_cache, final_len, dec0,
-            gap_start + gap_filled, k_scale, v_scale,
+            gap_start + gap_filled, k_scale, v_scale, layer=layer,
         )  # acc [B,KV,G,D] f32 (unnormalized), m/l [B,KV,G]
         logit_s = jnp.einsum(
             "bkgd,bkd->bkg", q, key_new, preferred_element_type=jnp.float32
@@ -276,6 +282,11 @@ def decode_attention_batch_gapped(
             jnp.float32)) / (l[..., None] * w_acc + w_s)
         return out.reshape(b, num_heads, head_dim).astype(query.dtype)
 
+    if layer is not None:  # xla arm of a stacked call (parity tests)
+        key_cache = key_cache[layer]
+        value_cache = value_cache[layer]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[layer], v_scale[layer]
     idx = jnp.arange(s)[None, :]
     dec0 = (
         jnp.broadcast_to(gap_start, final_len.shape)

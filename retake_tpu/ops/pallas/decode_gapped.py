@@ -54,16 +54,18 @@ ROWS = 8  # query rows per (b, kv) step: G padded to the sublane tile
 
 
 def _kernel(
-    scalar_ref,  # SMEM [2B+1]: final_len[B] | dec_start[B] | write_end
+    scalar_ref,  # SMEM [2B+1(+1)]: final_len[B] | dec_start[B] | write_end
+    #   (| layer in stacked mode — consumed by the index maps only)
     q_ref,  # [1, 1, ROWS, D]
-    k_ref,  # [1, 1, BK, D] (bf16 | int8)
+    k_ref,  # [1, 1, BK, D] (bf16 | int8); stacked: [1, 1, 1, BK, D]
     v_ref,  # [1, 1, BK, D]
-    *refs,  # [ks_ref [1,1,BK,1], vs_ref,] acc_ref, m_ref, l_ref (outputs)
+    *refs,  # [ks_ref [1,1,NKB,BK], vs_ref,] acc_ref, m_ref, l_ref (outputs)
     b_total: int,
     bk: int,
     num_kb: int,
     scale: float,
     quantized: bool,
+    stacked: bool,
 ):
     if quantized:
         ks_ref, vs_ref, acc_ref, m_ref, l_ref = refs
@@ -91,8 +93,8 @@ def _kernel(
     def _compute():
         d = q_ref.shape[-1]
         q = q_ref[0, 0]  # [ROWS, D]
-        k = k_ref[0, 0]  # [BK, D]
-        v = v_ref[0, 0]
+        k = k_ref[0, 0, 0] if stacked else k_ref[0, 0]  # [BK, D]
+        v = v_ref[0, 0, 0] if stacked else v_ref[0, 0]
         if ks_ref is not None:
             # commuting scales: cast int8 -> compute dtype WITHOUT the
             # scale; the per-key scale lands on the [ROWS, BK] score /
@@ -105,7 +107,14 @@ def _kernel(
             preferred_element_type=jnp.float32,
         ) * scale  # [ROWS, BK]
         if ks_ref is not None:
-            s = s * ks_ref[0, 0]  # [1, BK] lane-major row broadcast
+            # the scale blocks are the FULL [num_kb, BK] lane-major plane
+            # per (b, kv) — Mosaic rejects a [1, BK] row block (sublane
+            # block dim 1 is neither 8-divisible nor the array dim), and
+            # the plane DMA is elided across the kb sweep anyway (constant
+            # block index) — select this block's row in VMEM
+            ks_row = (ks_ref[0, 0, 0, pl.ds(kb, 1), :] if stacked
+                      else ks_ref[0, 0, pl.ds(kb, 1), :])
+            s = s * ks_row  # [1, BK] row broadcast
         col = start + jax.lax.broadcasted_iota(jnp.int32, (ROWS, bk), 1)
         valid = (col < final_len) | ((col >= dec_start) & (col < write_end))
         s = jnp.where(valid, s, NEG_INF)
@@ -118,7 +127,9 @@ def _kernel(
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         if vs_ref is not None:
-            p = p * vs_ref[0, 0]  # fold the value scale into the probs
+            vs_row = (vs_ref[0, 0, 0, pl.ds(kb, 1), :] if stacked
+                      else vs_ref[0, 0, pl.ds(kb, 1), :])
+            p = p * vs_row  # fold the value scale into the probs
         acc_ref[0, 0] = acc_ref[0, 0] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -130,13 +141,21 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("block_k",))
 def decode_gapped_flash_state(
     query: jax.Array,  # [B, KV, G, D] current-token queries (RoPE'd)
-    key_cache: jax.Array,  # [B, KV, S, D] (bf16 | int8 + k_scale)
+    key_cache: jax.Array,  # [B, KV, S, D] (bf16 | int8 + k_scale), or the
+    #   FULL stacked cache [L, B, KV, S, D] with ``layer`` set
     value_cache: jax.Array,
     final_len: jax.Array,  # [B] int32
     dec_start: jax.Array,  # [B] int32 per-slot decode-region start
     write_end: jax.Array,  # scalar int32 — gap_start + gap_filled
-    k_scale=None,  # [B, KV, S] f32 (int8-cache mode)
+    k_scale=None,  # [B, KV, S] f32 (int8-cache mode; [L, B, KV, S] stacked)
     v_scale=None,
+    layer=None,  # scalar int32 — stacked mode: which layer of the 5-D cache
+    #   to attend over. The layer is scalar-prefetched into the index maps,
+    #   so the kernel DMAs live blocks STRAIGHT from the stacked buffer: a
+    #   4-D per-layer slice operand would force XLA to materialize ~2 x
+    #   [B, KV, S, D] HBM copies per layer (Mosaic custom calls can't fuse
+    #   a dynamic-slice producer), which measured ~17 ms/step at 28 layers
+    #   x B=4 x 41k bucket — more than the whole XLA-einsum decode step.
     block_k: int = DEFAULT_BK,
 ):
     """Unnormalized flash state over the cache's live regions.
@@ -150,7 +169,11 @@ def decode_gapped_flash_state(
         f"tile (num_heads/num_kv_heads must be <= {ROWS}; use the xla "
         f"decode impl for wider groups)"
     )
-    s = key_cache.shape[2]
+    stacked = key_cache.ndim == 5
+    assert stacked == (layer is not None), (
+        "pass `layer` iff the caches are stacked [L, B, KV, S, D]"
+    )
+    s = key_cache.shape[-2]
     quantized = k_scale is not None
     block_k = min(block_k, s)
     while s % block_k:  # tiny-test shapes; production buckets are 8192-mult
@@ -161,43 +184,71 @@ def decode_gapped_flash_state(
     if g < ROWS:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, ROWS - g), (0, 0)))
 
-    scalars = jnp.concatenate([
+    scalar_list = [
         final_len.astype(jnp.int32),
         dec_start.astype(jnp.int32),
         write_end.astype(jnp.int32)[None],
-    ])
+    ]
+    if stacked:
+        scalar_list.append(jnp.asarray(layer, jnp.int32)[None])
+    scalars = jnp.concatenate(scalar_list)
 
     def q_index(bi, kvi, kb, sc):
         return (bi, kvi, 0, 0)
 
-    def kv_index(bi, kvi, kb, sc):
+    def _live_kb(bi, kb, sc):
         start = kb * block_k
         final = sc[bi]
         dstart = sc[q.shape[0] + bi]
         wend = sc[2 * q.shape[0]]
         live = (start < final) | ((start + block_k > dstart) & (start < wend))
-        return (bi, kvi, jnp.where(live, kb, 0), 0)
+        return jnp.where(live, kb, 0)
+
+    if stacked:
+        def kv_index(bi, kvi, kb, sc):
+            return (sc[2 * q.shape[0] + 1], bi, kvi, _live_kb(bi, kb, sc), 0)
+
+        def sc_index(bi, kvi, kb, sc):
+            return (sc[2 * q.shape[0] + 1], bi, kvi, 0, 0)
+
+        kv_block = (1, 1, 1, block_k, d)
+        sc_block = (1, 1, 1, num_kb, block_k)
+        sc_shape = (-1, b, num_kv, num_kb, block_k)
+    else:
+        def kv_index(bi, kvi, kb, sc):
+            return (bi, kvi, _live_kb(bi, kb, sc), 0)
+
+        def sc_index(bi, kvi, kb, sc):
+            return (bi, kvi, 0, 0)
+
+        kv_block = (1, 1, block_k, d)
+        sc_block = (1, 1, num_kb, block_k)
+        sc_shape = (b, num_kv, num_kb, block_k)
 
     def out_index(bi, kvi, kb, sc):
         return (bi, kvi, 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, ROWS, d), q_index),
-        pl.BlockSpec((1, 1, block_k, d), kv_index),
-        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec(kv_block, kv_index),
     ]
     inputs = [q, key_cache, value_cache]
     if quantized:
-        # lane-major scale rows: [B, KV, S] -> [B, KV, num_kb, BK] (free
-        # reshape, S = num_kb * BK) so each block DMA is one contiguous
-        # [1, BK] row instead of a strided [BK, 1] column
+        # lane-major scale planes: [..., S] -> [..., num_kb, BK] (free
+        # reshape, S = num_kb * BK); the block is the FULL [num_kb, BK]
+        # plane per (b, kv) — its last-2 dims equal the array's, which is
+        # always a legal Mosaic block, and the constant block index means
+        # the DMA runs once per (b, kv) and is elided across the kb sweep.
+        # (A [1, BK] row block is rejected: sublane block dim 1 is neither
+        # 8-divisible nor the array dim.)
         in_specs += [
-            pl.BlockSpec((1, 1, 1, block_k), kv_index),
-            pl.BlockSpec((1, 1, 1, block_k), kv_index),
+            pl.BlockSpec(sc_block, sc_index),
+            pl.BlockSpec(sc_block, sc_index),
         ]
         inputs += [
-            k_scale.reshape(b, num_kv, num_kb, block_k),
-            v_scale.reshape(b, num_kv, num_kb, block_k),
+            k_scale.reshape(sc_shape),
+            v_scale.reshape(sc_shape),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -218,6 +269,7 @@ def decode_gapped_flash_state(
         num_kb=num_kb,
         scale=float(1.0 / (d**0.5)),
         quantized=quantized,
+        stacked=stacked,
     )
     kv_bytes = 1 if quantized else 2
     acc, m, l = pl.pallas_call(

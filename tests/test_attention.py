@@ -221,3 +221,43 @@ def test_decode_gapped_pallas_matches_einsum(rng):
     )
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_decode_gapped_stacked_layer_index(rng):
+    """Stacked-cache mode (the serving decode loop's path): the kernel
+    indexes the FULL [L, B, KV, S, D] cache via a scalar-prefetched layer
+    index instead of consuming a materialized per-layer slice. Every layer
+    must match the 4-D per-layer call, bf16 and int8."""
+    import jax.numpy as jnp
+
+    from retake_tpu.ops import attention as attn
+    from retake_tpu.ops.quantization import quantize_kv_block
+
+    L, b, kv, g, d, s = 3, 2, 2, 3, 8, 64
+    q = jnp.asarray(rng.normal(size=(b, kv * g, d)) * 0.3, jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(L, b, kv, s, d)) * 0.3, jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(L, b, kv, s, d)) * 0.3, jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(b, kv, d)) * 0.3, jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(b, kv, d)) * 0.3, jnp.float32)
+    final_len = jnp.asarray([10, 32], jnp.int32)
+    dec_start = jnp.asarray([40, 44], jnp.int32)
+    args = (final_len, jnp.int32(40), jnp.int32(12), kn, vn)
+
+    kq, ksc = quantize_kv_block(kc)
+    vq, vsc = quantize_kv_block(vc)
+    for li in range(L):
+        ref = attn.decode_attention_batch_gapped(
+            q, kc[li], vc[li], *args, dec_start=dec_start, impl="xla")
+        out = attn.decode_attention_batch_gapped(
+            q, kc, vc, *args, dec_start=dec_start,
+            layer=jnp.int32(li), impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        ref_q = attn.decode_attention_batch_gapped(
+            q, kq[li], vq[li], *args, k_scale=ksc[li], v_scale=vsc[li],
+            dec_start=dec_start, impl="xla")
+        out_q = attn.decode_attention_batch_gapped(
+            q, kq, vq, *args, k_scale=ksc, v_scale=vsc,
+            dec_start=dec_start, layer=jnp.int32(li), impl="pallas")
+        np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
+                                   atol=2e-5, rtol=2e-5)

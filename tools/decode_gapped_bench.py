@@ -11,6 +11,11 @@ Amortized dispatch (n>=20 calls, one fence) per CLAUDE.md; bf16 and
 int8-cache modes at 2B (12q/2kv) and 7B (28q/4kv) geometry.
 """
 
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import time
 
 import jax
