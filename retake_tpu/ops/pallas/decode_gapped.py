@@ -18,25 +18,43 @@ blocks alias block 0 in the index_map (Pallas elides the repeated DMA) and
 ``pl.when`` skips their compute, so each step's HBM traffic tracks the sum
 of live regions, not B x bucket.
 
+At decode shapes the kernel is GRID-OVERHEAD-bound, not HBM-bound: a live
+[BK, D] block is ~1 us of DMA, so every grid step (dead ones included —
+Mosaic grids are dense) costs about as much as the data it moves. All KV
+heads are therefore folded INTO the block (grid (b, kb), block
+[KV, BK, D], the head loop unrolled in-kernel): same HBM traffic, KVx
+fewer grid steps. Measured per-call on-chip (tools/decode_gapped_bench.py,
+n=100 amortized, 2026-08-19, 41k serving bucket): 2B bf16 B=8 mixed
+0.44 ms vs 0.86 XLA (1.95x; was ~1.0x pre-merge), 7B bf16 B=8 0.61 vs
+1.35 (2.2x); uniform full-bucket batches ~1.0x (worst 0.77x, int8 32k
+uniform — but uniform batches take the einsum path by default anyway).
+
 The current token's key/value contribution is merged OUTSIDE the kernel
 (ops/attention.decode_attention_batch_gapped): the kernel returns the
 unnormalized flash state (acc, m, l) per (slot, kv-head) and the caller
 finishes the online-softmax merge with the single new key — identical
 numerics to the append-free merge, one fewer special case in-kernel.
 
-int8-cache mode streams int8 + LANE-MAJOR scale blocks and COMMUTES the
+Serving calls pass the FULL stacked [L, B, KV, S, D] cache plus a
+``layer`` index (scalar-prefetched into the index maps): a per-layer
+4-D slice operand would force XLA to MATERIALIZE ~2 x [B, KV, S, D]
+HBM copies per layer, because a Mosaic custom call cannot fuse a
+dynamic-slice producer (measured ~17 ms/step at 28 layers x B=4 x 41k
+bucket — more than the whole XLA-einsum decode step).
+
+int8-cache mode streams int8 + LANE-MAJOR scale planes and COMMUTES the
 scales out of the dequant: scores = (q @ k_int8_as_bf16) * ks_row and
 acc += (p * vs_row) @ v_int8_as_bf16, so the per-block elementwise scale
 work is [ROWS, BK] (8 x BK) instead of dequantizing [BK, D] (BK x 128) —
-16x less VPU work — and the scale DMA is one contiguous [1, BK] row (the
-scales are reshaped to [B, KV, num_kb, BK] outside the kernel; a
-[1,1,BK,1] column block is a strided 1-lane DMA, the first version's
-main cost).
+16x less VPU work. The scale block is the full [num_kb, BK] plane per
+(b, kv) (a [1, BK] row block is rejected by Mosaic: sublane block dim 1
+is neither 8-divisible nor the array dim); its DMA is elided across the
+kb sweep (constant block index) and the block's row is selected in VMEM.
 
-Grid (b, kv, kb): kb innermost/sequential carries the online-softmax
-scratch; b and kv are parallel. Q rows per step are G (grouped query heads,
-6-7) padded to the 8-row sublane tile; logits [8, BK] fp32 stay far under
-VMEM limits, so no SUB_K tiling is needed at decode shapes.
+Grid (b, kb): kb innermost/sequential carries the online-softmax
+scratch; b is parallel. Q rows per (b, kv-head) step are G (grouped query
+heads, 6-7) padded to the 8-row sublane tile; logits [8, BK] fp32 stay far
+under VMEM limits, so no SUB_K tiling is needed at decode shapes.
 """
 
 from __future__ import annotations
@@ -49,20 +67,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_BK = 1024
+DEFAULT_BK = 2048
 ROWS = 8  # query rows per (b, kv) step: G padded to the sublane tile
 
 
 def _kernel(
     scalar_ref,  # SMEM [2B+1(+1)]: final_len[B] | dec_start[B] | write_end
     #   (| layer in stacked mode — consumed by the index maps only)
-    q_ref,  # [1, 1, ROWS, D]
-    k_ref,  # [1, 1, BK, D] (bf16 | int8); stacked: [1, 1, 1, BK, D]
-    v_ref,  # [1, 1, BK, D]
-    *refs,  # [ks_ref [1,1,NKB,BK], vs_ref,] acc_ref, m_ref, l_ref (outputs)
+    q_ref,  # [1, KV, ROWS, D]
+    k_ref,  # [1, KV, BK, D] (bf16 | int8); stacked: [1, 1, KV, BK, D]
+    v_ref,  # [1, KV, BK, D]
+    *refs,  # [ks_ref [1,KV,NKB,BK], vs_ref,] acc_ref, m_ref, l_ref (outputs)
     b_total: int,
     bk: int,
     num_kb: int,
+    num_kv: int,
     scale: float,
     quantized: bool,
     stacked: bool,
@@ -73,16 +92,16 @@ def _kernel(
         acc_ref, m_ref, l_ref = refs
         ks_ref = vs_ref = None
     b = pl.program_id(0)
-    kb = pl.program_id(2)
+    kb = pl.program_id(1)
     final_len = scalar_ref[b]
     dec_start = scalar_ref[b_total + b]
     write_end = scalar_ref[2 * b_total]
 
     @pl.when(kb == 0)
     def _init():
-        m_ref[0, 0] = jnp.full_like(m_ref[0, 0], NEG_INF)
-        l_ref[0, 0] = jnp.zeros_like(l_ref[0, 0])
-        acc_ref[0, 0] = jnp.zeros_like(acc_ref[0, 0])
+        m_ref[0] = jnp.full_like(m_ref[0], NEG_INF)
+        l_ref[0] = jnp.zeros_like(l_ref[0])
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
 
     start = kb * bk
     live = (start < final_len) | (
@@ -91,51 +110,50 @@ def _kernel(
 
     @pl.when(live)
     def _compute():
-        d = q_ref.shape[-1]
-        q = q_ref[0, 0]  # [ROWS, D]
-        k = k_ref[0, 0, 0] if stacked else k_ref[0, 0]  # [BK, D]
-        v = v_ref[0, 0, 0] if stacked else v_ref[0, 0]
-        if ks_ref is not None:
-            # commuting scales: cast int8 -> compute dtype WITHOUT the
-            # scale; the per-key scale lands on the [ROWS, BK] score /
-            # probability rows below (16x less elementwise work than
-            # dequantizing the [BK, D] blocks)
-            k = k.astype(q.dtype)
-            v = v.astype(q.dtype)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [ROWS, BK]
-        if ks_ref is not None:
-            # the scale blocks are the FULL [num_kb, BK] lane-major plane
-            # per (b, kv) — Mosaic rejects a [1, BK] row block (sublane
-            # block dim 1 is neither 8-divisible nor the array dim), and
-            # the plane DMA is elided across the kb sweep anyway (constant
-            # block index) — select this block's row in VMEM
-            ks_row = (ks_ref[0, 0, 0, pl.ds(kb, 1), :] if stacked
-                      else ks_ref[0, 0, pl.ds(kb, 1), :])
-            s = s * ks_row  # [1, BK] row broadcast
         col = start + jax.lax.broadcasted_iota(jnp.int32, (ROWS, bk), 1)
         valid = (col < final_len) | ((col >= dec_start) & (col < write_end))
-        s = jnp.where(valid, s, NEG_INF)
+        # all KV heads of this (slot, block) in one grid step: the head
+        # loop is a static unroll — same HBM traffic, KVx fewer grid steps
+        # (each step costs ~1 us of overhead, comparable to a live block's
+        # whole DMA at decode shapes)
+        for kvi in range(num_kv):
+            q = q_ref[0, kvi]  # [ROWS, D]
+            k = k_ref[0, 0, kvi] if stacked else k_ref[0, kvi]  # [BK, D]
+            v = v_ref[0, 0, kvi] if stacked else v_ref[0, kvi]
+            if ks_ref is not None:
+                # commuting scales: cast int8 -> compute dtype WITHOUT the
+                # scale; the per-key scale lands on the [ROWS, BK] score /
+                # probability rows below (16x less elementwise work than
+                # dequantizing the [BK, D] blocks)
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [ROWS, BK]
+            if ks_ref is not None:
+                ks_row = (ks_ref[0, 0, kvi, pl.ds(kb, 1), :] if stacked
+                          else ks_ref[0, kvi, pl.ds(kb, 1), :])
+                s = s * ks_row  # [1, BK] row broadcast
+            s = jnp.where(valid, s, NEG_INF)
 
-        m_prev = m_ref[0, 0][:, :1]  # [ROWS, 1]
-        l_prev = l_ref[0, 0][:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        if vs_ref is not None:
-            vs_row = (vs_ref[0, 0, 0, pl.ds(kb, 1), :] if stacked
-                      else vs_ref[0, 0, pl.ds(kb, 1), :])
-            p = p * vs_row  # fold the value scale into the probs
-        acc_ref[0, 0] = acc_ref[0, 0] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[0, 0] = jnp.broadcast_to(m_new, m_ref.shape[2:])
-        l_ref[0, 0] = jnp.broadcast_to(l_new, l_ref.shape[2:])
+            m_prev = m_ref[0, kvi][:, :1]  # [ROWS, 1]
+            l_prev = l_ref[0, kvi][:, :1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if vs_ref is not None:
+                vs_row = (vs_ref[0, 0, kvi, pl.ds(kb, 1), :] if stacked
+                          else vs_ref[0, kvi, pl.ds(kb, 1), :])
+                p = p * vs_row  # fold the value scale into the probs
+            acc_ref[0, kvi] = acc_ref[0, kvi] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[0, kvi] = jnp.broadcast_to(m_new, m_ref.shape[2:])
+            l_ref[0, kvi] = jnp.broadcast_to(l_new, l_ref.shape[2:])
 
 
 @functools.partial(jax.jit, static_argnames=("block_k",))
@@ -150,12 +168,8 @@ def decode_gapped_flash_state(
     k_scale=None,  # [B, KV, S] f32 (int8-cache mode; [L, B, KV, S] stacked)
     v_scale=None,
     layer=None,  # scalar int32 — stacked mode: which layer of the 5-D cache
-    #   to attend over. The layer is scalar-prefetched into the index maps,
-    #   so the kernel DMAs live blocks STRAIGHT from the stacked buffer: a
-    #   4-D per-layer slice operand would force XLA to materialize ~2 x
-    #   [B, KV, S, D] HBM copies per layer (Mosaic custom calls can't fuse
-    #   a dynamic-slice producer), which measured ~17 ms/step at 28 layers
-    #   x B=4 x 41k bucket — more than the whole XLA-einsum decode step.
+    #   to attend over (see module docstring: avoids materialized per-layer
+    #   slice operands in the serving decode loop)
     block_k: int = DEFAULT_BK,
 ):
     """Unnormalized flash state over the cache's live regions.
@@ -193,8 +207,8 @@ def decode_gapped_flash_state(
         scalar_list.append(jnp.asarray(layer, jnp.int32)[None])
     scalars = jnp.concatenate(scalar_list)
 
-    def q_index(bi, kvi, kb, sc):
-        return (bi, kvi, 0, 0)
+    def q_index(bi, kb, sc):
+        return (bi, 0, 0, 0)
 
     def _live_kb(bi, kb, sc):
         start = kb * block_k
@@ -205,43 +219,39 @@ def decode_gapped_flash_state(
         return jnp.where(live, kb, 0)
 
     if stacked:
-        def kv_index(bi, kvi, kb, sc):
-            return (sc[2 * q.shape[0] + 1], bi, kvi, _live_kb(bi, kb, sc), 0)
+        def kv_index(bi, kb, sc):
+            return (sc[2 * q.shape[0] + 1], bi, 0, _live_kb(bi, kb, sc), 0)
 
-        def sc_index(bi, kvi, kb, sc):
-            return (sc[2 * q.shape[0] + 1], bi, kvi, 0, 0)
+        def sc_index(bi, kb, sc):
+            return (sc[2 * q.shape[0] + 1], bi, 0, 0, 0)
 
-        kv_block = (1, 1, 1, block_k, d)
-        sc_block = (1, 1, 1, num_kb, block_k)
+        kv_block = (1, 1, num_kv, block_k, d)
+        sc_block = (1, 1, num_kv, num_kb, block_k)
         sc_shape = (-1, b, num_kv, num_kb, block_k)
     else:
-        def kv_index(bi, kvi, kb, sc):
-            return (bi, kvi, _live_kb(bi, kb, sc), 0)
+        def kv_index(bi, kb, sc):
+            return (bi, 0, _live_kb(bi, kb, sc), 0)
 
-        def sc_index(bi, kvi, kb, sc):
-            return (bi, kvi, 0, 0)
+        def sc_index(bi, kb, sc):
+            return (bi, 0, 0, 0)
 
-        kv_block = (1, 1, block_k, d)
-        sc_block = (1, 1, num_kb, block_k)
+        kv_block = (1, num_kv, block_k, d)
+        sc_block = (1, num_kv, num_kb, block_k)
         sc_shape = (b, num_kv, num_kb, block_k)
 
-    def out_index(bi, kvi, kb, sc):
-        return (bi, kvi, 0, 0)
+    def out_index(bi, kb, sc):
+        return (bi, 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, ROWS, d), q_index),
+        pl.BlockSpec((1, num_kv, ROWS, d), q_index),
         pl.BlockSpec(kv_block, kv_index),
         pl.BlockSpec(kv_block, kv_index),
     ]
     inputs = [q, key_cache, value_cache]
     if quantized:
         # lane-major scale planes: [..., S] -> [..., num_kb, BK] (free
-        # reshape, S = num_kb * BK); the block is the FULL [num_kb, BK]
-        # plane per (b, kv) — its last-2 dims equal the array's, which is
-        # always a legal Mosaic block, and the constant block index means
-        # the DMA runs once per (b, kv) and is elided across the kb sweep.
-        # (A [1, BK] row block is rejected: sublane block dim 1 is neither
-        # 8-divisible nor the array dim.)
+        # reshape, S = num_kb * BK); see module docstring for why the
+        # block is the full plane
         in_specs += [
             pl.BlockSpec(sc_block, sc_index),
             pl.BlockSpec(sc_block, sc_index),
@@ -253,12 +263,12 @@ def decode_gapped_flash_state(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, num_kv, num_kb),
+        grid=(b, num_kb),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, ROWS, d), out_index),
-            pl.BlockSpec((1, 1, ROWS, 128), out_index),
-            pl.BlockSpec((1, 1, ROWS, 128), out_index),
+            pl.BlockSpec((1, num_kv, ROWS, d), out_index),
+            pl.BlockSpec((1, num_kv, ROWS, 128), out_index),
+            pl.BlockSpec((1, num_kv, ROWS, 128), out_index),
         ],
     )
 
@@ -267,6 +277,7 @@ def decode_gapped_flash_state(
         b_total=b,
         bk=block_k,
         num_kb=num_kb,
+        num_kv=num_kv,
         scale=float(1.0 / (d**0.5)),
         quantized=quantized,
         stacked=stacked,
@@ -282,7 +293,7 @@ def decode_gapped_flash_state(
         ],
         interpret=jax.default_backend() == "cpu",  # CPU tests / dryruns
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_kv * ROWS * s * d,

@@ -166,19 +166,26 @@ def run_long_admission(eng, max_new=192):
     }), flush=True)
 
 
-def run_mixed_decode_impl(eng, max_new=256, impls=("xla", "pallas")):
+def run_mixed_decode_impl(eng, max_new=256, impls=("xla", "pallas"),
+                          batch_slots=4):
     """End-to-end serving TPOT A/B for the dead-block-skipping decode
     kernel: mixed-length tenants (64-frame and 1024-frame requests) under
     ONE long shared bucket, steady-state decode, decode_attn_impl xla vs
     pallas. The kernel's HBM reads track each slot's live regions instead
     of B x bucket (tools/decode_gapped_bench.py measures the op alone;
-    this measures the whole serving step)."""
+    this measures the whole serving step). ``batch_slots`` scales the
+    tenant mix (one 1024-frame long tenant, the rest 64-frame): larger B
+    raises the dead fraction — the kernel's win case per the op-level
+    bench — while the XLA arm's reads grow with B x bucket."""
     import bench as b
 
     names = ("input_ids", "pixel_values_videos", "video_grid_thw")
+    frames = [64] * batch_slots
+    frames[min(2, batch_slots - 1)] = 1024
     reqs = [dict(zip(names, b.build_request(eng.cfg, num_frames=f)))
-            for f in (64, 64, 1024, 64)]
-    kw = dict(batch_slots=4, segment_steps=32, max_new_tokens=max_new,
+            for f in frames]
+    kw = dict(batch_slots=batch_slots, segment_steps=32,
+              max_new_tokens=max_new,
               prefill_bucket=32768 + 8192, interleave_prefill=False)
     out = {}
     for impl in impls:
@@ -244,7 +251,7 @@ def main():
         return
     if args.mixed_impl:
         impls = ("xla", "pallas") if args.impl == "both" else (args.impl,)
-        run_mixed_decode_impl(eng, impls=impls)
+        run_mixed_decode_impl(eng, impls=impls, batch_slots=args.batch)
         return
     if not args.poisson:
         throughput_curve(eng, reqs)
