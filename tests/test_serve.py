@@ -215,6 +215,48 @@ def test_continuous_serve_int8_kv(tiny, rng):
         np.testing.assert_array_equal(res.tokens, s.tokens)
 
 
+def test_continuous_serve_int8_kv_pallas_decode(tiny, rng):
+    """int8 KV cache AND the dead-block-skipping decode kernel together
+    (decode_attn_impl="pallas" + kv_cache_dtype="int8" — the kernel's
+    best op-level case: it streams int8 blocks + lane-major scale planes,
+    see ops/pallas/decode_gapped.py). Wiring test like the bf16 pallas
+    one: compaction is avoided (large gap_capacity) so greedy tokens
+    should match sequential int8-KV generate exactly — same executable
+    order, no relocation ulps; the int8 scale planes take the stacked
+    5-D + layer-index path through the serving decode step."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"kv_cache_dtype": "int8",
+         "longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    reqs = []
+    for grid_t, plen in ((2, 4), (4, 6), (2, 7)):
+        ids, patches, grid = make_video_request(
+            cfg, rng, grid_t=grid_t, prompt_len=plen
+        )
+        reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                         video_grid_thw=grid))
+    max_new = 8
+    seq = [engine.generate(**r, max_new_tokens=max_new) for r in reqs]
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=max_new,
+        gap_capacity=64, decode_attn_impl="pallas",
+    )
+    results = server.run(reqs)
+    total = agree = 0
+    for res, s in zip(results, seq):
+        assert 1 <= len(res.tokens) <= max_new
+        n = min(len(res.tokens), len(s.tokens))
+        agree += int(np.sum(res.tokens[:n] == s.tokens[:n]))
+        total += max(len(res.tokens), len(s.tokens))
+    # flash-order vs einsum reductions differ by ulps; with int8-coarsened
+    # logits the random tiny model sits on near-ties, so require high
+    # agreement rather than exactness (numerics pinned in test_attention)
+    assert agree / total >= 0.7, (agree, total)
+
+
 def test_compact_gap_moves_kv_and_scales(rng):
     """_compact_gap folds each slot's decode region [dec_start_b, +c_b)
     onto its prefill tail [final_len_b, +c_b) and leaves everything below

@@ -233,12 +233,20 @@ def main():
     p.add_argument("--mean_interval_s", type=float, default=1.0)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--max_new", type=int, default=64)
+    p.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16",
+                   help="kv_cache_dtype for the engine: int8 halves cache "
+                        "HBM (bf16 mixed_impl OOMs past --batch 4 at the "
+                        "41k shared bucket) and is the gapped kernel's "
+                        "best op-level case")
     args = p.parse_args()
 
     print("devices:", jax.devices(), flush=True)
     bench._wait_for_hbm(8)
     cfg, params = bench.build_model()
-    eng = Qwen2VLEngine(cfg, params, RetakeConfig.from_dict(bench.RETAKE_CONFIG))
+    retake_cfg = dict(bench.RETAKE_CONFIG)
+    if args.kv_dtype == "int8":
+        retake_cfg["kv_cache_dtype"] = "int8"
+    eng = Qwen2VLEngine(cfg, params, RetakeConfig.from_dict(retake_cfg))
 
     reqs = []
     for _ in range(max(8, args.n_requests)):
