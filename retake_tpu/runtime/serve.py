@@ -78,9 +78,11 @@ def _sync(tag, *arrs):
 def _sdbg(*a):
     """Env-gated schedule trace (RETAKE_SERVE_DEBUG=1): segment dispatches,
     compactions, and harvests with the host-mirrored per-slot state — the
-    tool that located the zero-copy aliasing race below."""
+    tool that located the zero-copy aliasing race below. Timestamped
+    (monotonic seconds) so the trace doubles as a per-phase wall profile
+    of the serving loop."""
     if _os.environ.get("RETAKE_SERVE_DEBUG"):
-        print("[serve]", *a, flush=True)
+        print(f"[serve {time.perf_counter():9.3f}]", *a, flush=True)
 
 
 def _dev(x) -> jax.Array:
