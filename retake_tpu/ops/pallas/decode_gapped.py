@@ -71,6 +71,29 @@ DEFAULT_BK = 2048
 ROWS = 8  # query rows per (b, kv) step: G padded to the sublane tile
 
 
+def _pick_block_k(s: int, block_k: int) -> int:
+    """Largest divisor of ``s`` that is <= ``block_k`` and a multiple of
+    128 (the lane tile) — NOT just power-of-two halvings. The grid is
+    DENSE: every (slot, kv head) sweeps s/block_k steps per layer whether
+    blocks are live or dead, so a collapsed block size multiplies grid
+    overhead directly. The old halving chain turned the serving bucket
+    41088 (= 321 x 128, 321 odd) into block_k=128 -> 321 grid steps per
+    (b, kv): measured 43 vs ~14 ms per decode step at int8 B=8 serving
+    shapes (tools/serve_decode_bisect.py). ContinuousServer also aligns
+    its bucket to 2048 (gap-column padding) so production serving never
+    relies on this fallback; arbitrary caller buckets degrade gracefully
+    to the best 128-multiple divisor. Sub-128 test shapes keep halving."""
+    block_k = min(block_k, s)
+    if s % block_k == 0:
+        return block_k
+    for cand in range(block_k - block_k % 128, 127, -128):
+        if s % cand == 0:
+            return cand
+    while s % block_k:
+        block_k //= 2
+    return block_k
+
+
 def _kernel(
     scalar_ref,  # SMEM [2B+1(+1)]: final_len[B] | dec_start[B] | write_end
     #   (| layer in stacked mode — consumed by the index maps only)
@@ -189,9 +212,7 @@ def decode_gapped_flash_state(
     )
     s = key_cache.shape[-2]
     quantized = k_scale is not None
-    block_k = min(block_k, s)
-    while s % block_k:  # tiny-test shapes; production buckets are 8192-mult
-        block_k //= 2
+    block_k = _pick_block_k(s, block_k)
     num_kb = s // block_k
 
     q = query

@@ -286,10 +286,27 @@ class ContinuousServer:
 
     # ---------- internal device/host state ----------
 
+    def _gap_cols(self) -> int:
+        """Physical gap columns: ``gap_cap`` plus the padding that makes
+        the shared bucket (p_bucket + gap columns) 2048-aligned. The
+        gapped decode kernel's block size must DIVIDE the bucket, and its
+        grid is dense (S/block_k steps per (slot, kv head) per layer), so
+        an unaligned bucket collapses the block size and multiplies grid
+        overhead: the old p_bucket + gap_cap = 40960 + 128 = 41088
+        (= 321 x 128) forced block_k=128 — measured 45 vs ~15 ms per
+        decode step at int8 B=8 serving shapes
+        (tools/serve_decode_bisect.py). Only the BUFFER grows (a few
+        hundred MB at most at production shapes); the compaction trigger
+        keeps the caller's ``gap_capacity`` semantics, and the write
+        pointer never enters the padding (f_global <= gap_cap at every
+        dispatch)."""
+        s = self.p_bucket + self.gap_cap
+        return self.gap_cap + (-s) % 2048
+
     def _init_buffers(self, st: PrefillState):
         cache = st.cache
         l, kv, _, d = cache.k.shape
-        s_attn = self.p_bucket + self.gap_cap
+        s_attn = self.p_bucket + self._gap_cols()
         quant = cache.quantized
         self.k_all = jnp.zeros((l, self.b, kv, s_attn, d), cache.k.dtype)
         self.v_all = jnp.zeros_like(self.k_all)
@@ -323,7 +340,7 @@ class ContinuousServer:
             f"request bucket {st.attn_need} exceeds server prefill bucket "
             f"{self.p_bucket}"
         )
-        s_attn = self.p_bucket + self.gap_cap
+        s_attn = self.p_bucket + self._gap_cols()
         pad = s_attn - cache.k.shape[2]
         k = jnp.pad(cache.k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(cache.v, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -261,3 +261,57 @@ def test_decode_gapped_stacked_layer_index(rng):
             dec_start=dec_start, layer=jnp.int32(li), impl="pallas")
         np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_decode_gapped_block_k_divisor_choice():
+    """_pick_block_k must find the largest 128-multiple DIVISOR, not just
+    power-of-two halvings: the dense grid sweeps s/block_k steps per
+    (slot, kv head) per layer, and the old halving chain collapsed the
+    serving bucket 41088 (= 321 x 128, 321 odd) to block_k=128 — 321
+    grid steps, measured 43 vs ~14 ms per serving decode step
+    (tools/serve_decode_bisect.py)."""
+    from retake_tpu.ops.pallas.decode_gapped import _pick_block_k
+
+    assert _pick_block_k(41088, 2048) == 384  # 321x128: best divisor
+    assert _pick_block_k(41984, 2048) == 1024  # 41x1024 (op-bench bucket)
+    assert _pick_block_k(43008, 2048) == 2048  # serve's aligned bucket
+    assert _pick_block_k(8192, 2048) == 2048  # eval-path buckets
+    assert _pick_block_k(384, 256) == 128  # divisor below the request
+    assert _pick_block_k(64, 2048) == 64  # tiny test shapes: s itself
+    assert _pick_block_k(96, 64) == 32  # sub-128: halving fallback
+
+
+def test_decode_gapped_non_pow2_bucket_parity(rng):
+    """Kernel parity at a bucket whose only >=128 block sizes are
+    non-power-of-two divisors (s = 384 = 3 x 128, block_k request 256 ->
+    chooses 128): the block sweep arithmetic must not assume pow2."""
+    import jax.numpy as jnp
+
+    from retake_tpu.ops import attention as attn
+    from retake_tpu.ops.pallas.decode_gapped import decode_gapped_flash_state
+
+    b, kv, g, d, s = 2, 2, 3, 8, 384
+    q4 = jnp.asarray(rng.normal(size=(b, kv, g, d)) * 0.3, jnp.float32)
+    q = q4.reshape(b, kv * g, d)
+    kc = jnp.asarray(rng.normal(size=(b, kv, s, d)) * 0.3, jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(b, kv, s, d)) * 0.3, jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(b, kv, d)) * 0.3, jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(b, kv, d)) * 0.3, jnp.float32)
+    final_len = jnp.asarray([100, 300], jnp.int32)
+    dec_start = jnp.asarray([320, 336], jnp.int32)
+    args = (final_len, jnp.int32(320), jnp.int32(40), kn, vn)
+
+    ref = attn.decode_attention_batch_gapped(
+        q, kc, vc, *args, dec_start=dec_start, impl="xla")
+    # route through the state entry directly to pin the block size
+    acc, m, l = decode_gapped_flash_state(
+        q4, kc, vc, final_len, dec_start, jnp.int32(360), block_k=256)
+    scale = 1.0 / np.sqrt(d)
+    logit_s = jnp.einsum("bkgd,bkd->bkg", q4, kn) * scale
+    m2 = jnp.maximum(m, logit_s)
+    w_acc, w_s = jnp.exp(m - m2)[..., None], jnp.exp(logit_s - m2)[..., None]
+    out = (acc * w_acc + w_s * vn[:, :, None, :]) / (
+        l[..., None] * w_acc + w_s)
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(b, kv * g, d)), np.asarray(ref),
+        atol=2e-5, rtol=2e-5)

@@ -1,27 +1,21 @@
 """Bisect the gapped-decode serving gap: OP-level the pallas kernel beats
 the full-bucket einsum on mixed-length B=8 buckets (1.2-3.2x,
-tools/decode_gapped_bench.py) yet LOSES ~2-3x inside the real serving
-segment loop (tools/serve_bench.py --mixed_impl: bf16 B=4 311 vs 171
-tok/s; int8 B=8 589 vs 177 — and the pallas arm is dtype-independent,
-i.e. the extra cost is not HBM reads of the cache).
+tools/decode_gapped_bench.py) yet LOSES inside the real serving segment
+loop (tools/serve_bench.py --mixed_impl). Findings so far (on-chip
+2026-08-19, 2B geometry, 41088 bucket, mixed tenants):
 
-Hypothesis under test: engine._decode_loop_batch carries the full stacked
-caches through the step scan and DUS-appends the new token each step.
-The einsum path fuses the cache reads, so XLA proves the append can run
-in place; a Mosaic custom call is opaque, so XLA's copy-insertion may be
-materializing full-cache copies inside the loop body (write-after-read
-on a buffer an opaque op consumes).
+  * bf16 B=4: isolated loop xla 11.1 / pallas 13.7 ms/step async; per-
+    segment host sync adds ~1.3 to BOTH; serve-faithful mirror transfers
+    add nothing; zero full-cache copies in compiled HLO; appends free.
+    The early recorded serving A/B (23.4 ms pallas) was tunnel variance —
+    a timestamped serve trace (RETAKE_SERVE_DEBUG=1) shows 14.7 ms/step
+    steady segments, matching this tool's prediction.
+  * int8 B=8: the serving trace shows a REPRODUCIBLE 44 ms/step cadence
+    (xla arm: 13.6). This tool's --kv_dtype int8 --batch 8 isolates
+    whether that lives in the decode loop or the server flow.
 
-Arms, at real serving shapes (2B geometry, 40960+128 bucket):
-  1. xla / pallas on the REAL engine._decode_loop_batch (cache carried,
-     DUS append per step, donated like serve._segment);
-  2. the same loop with the appends ABLATED (read-only caches) — if the
-     pallas arm gets fast here, the copies come from the read+write
-     aliasing, not from the kernel;
-  3. compiled-HLO census: count `copy` ops on the full-cache shape in
-     each program (printed per arm when the backend exposes HLO).
-
-Run on the chip:  python tools/serve_decode_bisect.py [--batch 4]
+Run on the chip:  python tools/serve_decode_bisect.py [--batch 8
+--kv_dtype int8]
 """
 
 from __future__ import annotations
@@ -49,12 +43,12 @@ from retake_tpu.runtime.engine import _decode_loop_batch
 
 @partial(
     jax.jit,
-    donate_argnames=("k_all", "v_all"),
+    donate_argnames=("k_all", "v_all", "ks_all", "vs_all"),
     static_argnames=("cfg", "num_steps", "attn_impl"),
 )
 def _decode_loop_nodus(
-    params, cfg, k_all, v_all, base_t, pos_bases, final_len, gap_start,
-    first_tokens, num_steps, dec_start, attn_impl,
+    params, cfg, k_all, v_all, ks_all, vs_all, base_t, pos_bases,
+    final_len, gap_start, first_tokens, num_steps, dec_start, attn_impl,
 ):
     """engine._decode_loop_batch's scan body minus the KV appends —
     isolates the read+write aliasing from the kernel's own cost. Tokens
@@ -62,22 +56,23 @@ def _decode_loop_nodus(
     the per-step time is meaningful."""
 
     def body(carry, i):
-        tokens, k_all, v_all = carry
+        tokens, k_all, v_all, ks_all, vs_all = carry
         emb = text.embed(params, tokens)
         hidden, _kb, _vb = text.decode_step_batch(
             params, cfg, k_all, v_all, emb, base_t, pos_bases + i,
-            final_len, gap_start, i, None, None, dec_start,
+            final_len, gap_start, i, ks_all, vs_all, dec_start,
             attn_impl=attn_impl,
         )
         logits = text.final_logits_batch(params, cfg, hidden)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, k_all, v_all), nxt
+        return (nxt, k_all, v_all, ks_all, vs_all), nxt
 
-    (_, k_all, v_all), tokens = jax.lax.scan(
-        body, (first_tokens.astype(jnp.int32), k_all, v_all),
+    (_, k_all, v_all, ks_all, vs_all), tokens = jax.lax.scan(
+        body,
+        (first_tokens.astype(jnp.int32), k_all, v_all, ks_all, vs_all),
         jnp.arange(num_steps),
     )
-    return tokens, (k_all, v_all)
+    return tokens, (k_all, v_all, ks_all, vs_all)
 
 
 def _cache_copies(compiled_text: str, dims: tuple) -> int:
@@ -90,10 +85,13 @@ def _cache_copies(compiled_text: str, dims: tuple) -> int:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--seg", type=int, default=16)
+    p.add_argument("--seg", type=int, default=32)
     p.add_argument("--reps", type=int, default=6, help="chained segment "
                    "calls per timing (donated caches feed forward)")
     p.add_argument("--bucket", type=int, default=40960 + 128)
+    p.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16")
+    p.add_argument("--census", action="store_true",
+                   help="also compile-and-grep HLO for full-cache copies")
     args = p.parse_args()
 
     print("devices:", jax.devices(), flush=True)
@@ -105,14 +103,22 @@ def main():
     D = cfg.hidden_size // cfg.num_attention_heads
     B, S = args.batch, args.bucket
     gap_start = S - 128
+    quant = args.kv_dtype == "int8"
 
     def fresh_caches(key):
         kk, kv = jax.random.split(key)
+        if quant:
+            mk = jax.jit(lambda k: jax.random.randint(
+                k, (L, B, KV, S, D), -127, 128, jnp.int8))
+            ms = jax.jit(lambda k: jax.random.uniform(
+                k, (L, B, KV, S), jnp.float32, 0.01, 0.05))
+            sk, sv = jax.random.split(jax.random.fold_in(key, 7))
+            return mk(kk), mk(kv), ms(sk), ms(sv)
         mk = jax.jit(lambda k: (jax.random.normal(
             k, (L, B, KV, S, D), jnp.bfloat16) * 0.05))
-        return mk(kk), mk(kv)
+        return mk(kk), mk(kv), None, None
 
-    # serve-mixed tenant mix: three short, one long (like serve_bench)
+    # serve-mixed tenant mix: one long, the rest short (like serve_bench)
     fl = [5056] * B
     fl[min(2, B - 1)] = 32768
     final_len = jnp.asarray(fl, jnp.int32)
@@ -122,40 +128,48 @@ def main():
     first = jnp.full((B,), 17, jnp.int32)
 
     dims = (L, B, KV, S, D)
-    print(f"cache shape {dims} bf16 x2 = "
-          f"{2 * np.prod(dims) * 2 / 2**30:.2f} GiB", flush=True)
+    bytes_el = 1 if quant else 2
+    print(f"cache shape {dims} {args.kv_dtype} x2 = "
+          f"{2 * np.prod(dims) * bytes_el / 2**30:.2f} GiB", flush=True)
 
     def run(tag, fn, impl, sync_each=False):
-        k_all, v_all = fresh_caches(jax.random.key(0))
+        caches = fresh_caches(jax.random.key(0))
         # warm/compile
-        toks, (k_all, v_all) = fn(k_all, v_all, impl)
+        toks, caches = fn(caches, impl)
         float(jnp.sum(toks[-1]))  # fence (tunnel-safe host read)
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            toks, (k_all, v_all) = fn(k_all, v_all, impl)
+            toks, caches = fn(caches, impl)
             if sync_each:
                 # serve-style: the harvest host-reads every segment's
-                # tokens, serializing dispatch with the device — exposes
-                # any per-dispatch executable overhead the async chain
-                # hides
+                # tokens, serializing dispatch with the device
                 np.asarray(toks)
         float(jnp.sum(toks[-1]))
         dt = time.perf_counter() - t0
         ms = dt / (args.reps * args.seg) * 1e3
         print(f"{tag:34s} {ms:7.2f} ms/step", flush=True)
-        del k_all, v_all
+        del caches
         return ms
 
-    def real_loop(k_all, v_all, impl):
-        toks, (k_all, v_all, _, _) = _decode_loop_batch(
+    def real_loop(caches, impl):
+        k_all, v_all, ks_all, vs_all = caches
+        toks, caches = _decode_loop_batch(
             params, cfg, k_all, v_all, base_t, pos_bases, final_len,
             jnp.int32(gap_start), first, args.seg,
-            None, None, None, None,
+            None, None, ks_all, vs_all,
             dec_start=dec_start, i0=jnp.int32(0),
             done0=jnp.zeros((B,), bool),
             step_off=jnp.zeros((B,), jnp.int32), attn_impl=impl,
         )
-        return toks, (k_all, v_all)
+        return toks, caches
+
+    def nodus_loop(caches, impl):
+        k_all, v_all, ks_all, vs_all = caches
+        return _decode_loop_nodus(
+            params, cfg, k_all, v_all, ks_all, vs_all, base_t, pos_bases,
+            final_len, jnp.int32(gap_start), first, args.seg, dec_start,
+            impl,
+        )
 
     # serve._segment transfers FRESH host mirrors every call (numpy ->
     # jnp.array x6 [B]-vectors, [L,B] base_t, plus i0/gap scalars) and the
@@ -166,27 +180,21 @@ def main():
     pos_np = np.asarray(pos_bases)
     fl_np = np.asarray(final_len)
     ds_np = np.asarray(dec_start)
-    state = {"cur": first, "i0": 0}
+    state = {"cur": first}
 
-    def faithful_loop(k_all, v_all, impl):
-        toks, (k_all, v_all, _, _) = _decode_loop_batch(
+    def faithful_loop(caches, impl):
+        k_all, v_all, ks_all, vs_all = caches
+        toks, caches = _decode_loop_batch(
             params, cfg, k_all, v_all,
             jnp.array(base_t_np), jnp.array(pos_np), jnp.array(fl_np),
             jnp.int32(gap_start), state["cur"], args.seg,
-            None, None, None, None,
-            dec_start=jnp.array(ds_np), i0=jnp.int32(state["i0"]),
+            None, None, ks_all, vs_all,
+            dec_start=jnp.array(ds_np), i0=jnp.int32(0),
             done0=jnp.array(np.zeros((B,), bool)),
             step_off=jnp.array(np.zeros((B,), np.int32)), attn_impl=impl,
         )
         state["cur"] = toks[-1]
-        state["i0"] = 0  # keep the write window static across reps
-        return toks, (k_all, v_all)
-
-    def nodus_loop(k_all, v_all, impl):
-        return _decode_loop_nodus(
-            params, cfg, k_all, v_all, base_t, pos_bases, final_len,
-            jnp.int32(gap_start), first, args.seg, dec_start, impl,
-        )
+        return toks, caches
 
     out = {}
     for impl in ("xla", "pallas"):
@@ -196,30 +204,30 @@ def main():
                                    impl)
         out[f"{impl}_sync"] = run(f"{impl} real loop, host-synced",
                                   real_loop, impl, sync_each=True)
-        state["cur"], state["i0"] = first, 0
+        state["cur"] = first
         out[f"{impl}_faithful"] = run(
             f"{impl} serve-faithful (sync+xfers)", faithful_loop, impl,
             sync_each=True)
 
-    # HLO copy census on the real loop (may be unavailable via tunnel)
-    for impl in ("xla", "pallas"):
-        try:
-            k_all, v_all = fresh_caches(jax.random.key(1))
-            lowered = _decode_loop_batch.lower(
-                params, cfg, k_all, v_all, base_t, pos_bases, final_len,
-                jnp.int32(gap_start), first, args.seg,
-                None, None, None, None,
-                dec_start=dec_start, i0=jnp.int32(0),
-                done0=jnp.zeros((B,), bool),
-                step_off=jnp.zeros((B,), jnp.int32), attn_impl=impl,
-            )
-            txt = lowered.compile().as_text()
-            n = _cache_copies(txt, dims)
-            print(f"{impl}: full-cache copy ops in compiled HLO: {n}",
-                  flush=True)
-            del k_all, v_all
-        except Exception as e:  # noqa: BLE001
-            print(f"{impl}: HLO census unavailable: {e}", flush=True)
+    if args.census:
+        for impl in ("xla", "pallas"):
+            try:
+                caches = fresh_caches(jax.random.key(1))
+                lowered = _decode_loop_batch.lower(
+                    params, cfg, caches[0], caches[1], base_t, pos_bases,
+                    final_len, jnp.int32(gap_start), first, args.seg,
+                    None, None, caches[2], caches[3],
+                    dec_start=dec_start, i0=jnp.int32(0),
+                    done0=jnp.zeros((B,), bool),
+                    step_off=jnp.zeros((B,), jnp.int32), attn_impl=impl,
+                )
+                txt = lowered.compile().as_text()
+                n = _cache_copies(txt, dims)
+                print(f"{impl}: full-cache copy ops in compiled HLO: {n}",
+                      flush=True)
+                del caches
+            except Exception as e:  # noqa: BLE001
+                print(f"{impl}: HLO census unavailable: {e}", flush=True)
 
     print(out, flush=True)
 
