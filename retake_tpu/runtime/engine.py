@@ -752,6 +752,23 @@ class PrefixMismatch(ValueError):
     the inline path — typically generate(video_features=prefix.features)."""
 
 
+class PrefixBudgetOverflow(PrefixMismatch):
+    """The captured prefix's token budget is too small for this question
+    (bigger max_new_tokens or longer prompt than anything seen at capture
+    time). Unlike plan divergence, a recapture with a larger reserve fixes
+    it permanently — the serving layer evicts + recaptures on this instead
+    of falling back inline forever."""
+
+
+class PrefixUnsupported(ValueError):
+    """Prefix capture/reuse is impossible under the ENGINE CONFIG (not just
+    this request): prompt_guided_compression folds the question into every
+    video chunk, so no question-independent prefill exists. Callers should
+    stop attempting captures for the engine's lifetime (the serving layer
+    disables its prefix cache on this), unlike the per-request ValueErrors
+    (no video span / video at prompt end) which fail only one capture."""
+
+
 @dataclasses.dataclass
 class VideoPrefix:
     """Question-independent LLM-prefill artifact: the compressed KV cache
@@ -1320,7 +1337,7 @@ def prefill_and_decode(
     n_prefix_steps = 0
     if capture_reserve is not None or prefix is not None:
         if prompt_guided:
-            raise ValueError(
+            raise PrefixUnsupported(
                 "prefix reuse requires prompt_guided_compression off (the "
                 "question enters every video chunk via forge)"
             )
@@ -1357,7 +1374,7 @@ def prefill_and_decode(
             )
         assert prefix_len == prefix.final_len, (prefix_len, prefix.final_len)
         if needed > prefix.budget:
-            raise PrefixMismatch(
+            raise PrefixBudgetOverflow(
                 f"cache budget {prefix.budget} too small for this question "
                 f"(needs {needed}); re-encode the prefix with a larger "
                 "reserve_tokens"

@@ -174,7 +174,14 @@ class RetakeHTTPServer:
         if feats is None and path and getattr(
                 self.server, "prefix_cache_slots", 0) > 0:
             # a cached VideoPrefix also carries the features (its mismatch
-            # fallback) — frame loading can be skipped on a prefix hit too
+            # fallback) — frame loading can be skipped on a prefix hit too.
+            # Same cross-thread contract as the vision-cache peek above: the
+            # worker thread mutates _prefix_cache only via atomic dict ops
+            # (pop/reinsert LRU bumps, insert, evict), each atomic under the
+            # GIL, so a handler-thread .get() sees either a complete entry
+            # or a miss (worst case: a spurious miss during a bump → the
+            # request just reloads frames); the grabbed reference is strong,
+            # so a concurrent eviction cannot strand this request's feats.
             vp = self.server._prefix_cache.get(cache_key)
             if vp is not None:
                 feats = vp.features

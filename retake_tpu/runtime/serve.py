@@ -58,7 +58,9 @@ import os as _os
 
 from retake_tpu.runtime.engine import (
     PrefillState,
+    PrefixBudgetOverflow,
     PrefixMismatch,
+    PrefixUnsupported,
     _attn_bucket,
     _decode_loop_batch,
     _insert_batch_slot,
@@ -222,7 +224,7 @@ class ContinuousServer:
             "compactions": 0, "vision_cache_hits": 0,
             "vision_cache_misses": 0, "prefix_cache_hits": 0,
             "prefix_cache_misses": 0, "prefix_mismatch_fallbacks": 0,
-            "prefix_capture_failures": 0,
+            "prefix_capture_failures": 0, "prefix_budget_recaptures": 0,
         }
         self.b = int(batch_slots)
         self.seg = int(segment_steps)
@@ -627,14 +629,17 @@ class ContinuousServer:
                 on_dispatch=(self._on_prefill_dispatch
                              if self.interleave else None),
             )
-        except ValueError as e:
-            # prompt-shape-level (no video span / video span at the prompt
-            # end) fails only THIS capture; config-level (prompt-guided
-            # compression folds the question into every video chunk)
-            # disables the cache for the server's lifetime.
+        except PrefixUnsupported:
+            # config-level: prompt-guided compression folds the question
+            # into every video chunk — no question-independent prefill
+            # exists, so disable the cache for the server's lifetime.
             self.stats["prefix_capture_failures"] += 1
-            if "prompt_guided" in str(e):
-                self._prefix_disabled = True
+            self._prefix_disabled = True
+            return None
+        except ValueError:
+            # prompt-shape-level (no video span / video span at the prompt
+            # end): fails only THIS capture; later keys may still work.
+            self.stats["prefix_capture_failures"] += 1
             return None
         self._prefix_cache[key] = vp
         while len(self._prefix_cache) > self.prefix_cache_slots:
@@ -731,7 +736,7 @@ class ContinuousServer:
                                 max_new_tokens=req_max, _prefill_only=True,
                                 on_dispatch=hook,
                             )
-                        except PrefixMismatch:
+                        except PrefixMismatch as pm:
                             # diverging plan (longer question, bigger token
                             # budget, ...): pay the inline prefill instead —
                             # correctness never depends on the cache. A
@@ -741,12 +746,54 @@ class ContinuousServer:
                             if (req.get("pixel_values_videos") is None
                                     and req.get("video_features") is None):
                                 req["video_features"] = vp.features
+                            if isinstance(pm, PrefixBudgetOverflow):
+                                # the cached capture's budget was outgrown
+                                # (this req_max exceeds every allowance seen
+                                # at capture time): without eviction every
+                                # later keyed request would fall back inline
+                                # forever while the stale entry pins HBM.
+                                # Evict + recapture NOW (same prefill cost as
+                                # the inline fallback we were about to pay;
+                                # _maybe_reuse_prefix sizes the new budget
+                                # from max(self.max_new, req_max)).
+                                self._prefix_cache.pop(video_key, None)
+                                vp = self._maybe_reuse_prefix(
+                                    video_key, req, req_max)
+                                if vp is not None:
+                                    self.stats[
+                                        "prefix_budget_recaptures"] += 1
+                                    try:
+                                        st = self.engine.generate(
+                                            req["input_ids"], prefix=vp,
+                                            max_new_tokens=req_max,
+                                            _prefill_only=True,
+                                            on_dispatch=hook,
+                                        )
+                                    except PrefixMismatch:
+                                        # still diverging: inline fallback
+                                        # below (req has the features)
+                                        self.stats[
+                                            "prefix_mismatch_fallbacks"] += 1
                     if st is None:
                         st = self.engine.generate(
                             **{k: v for k, v in req.items()
                                if k != "max_new_tokens"},
                             max_new_tokens=req_max, _prefill_only=True,
                             on_dispatch=hook,
+                        )
+                    if (self.p_bucket is not None
+                            and st.attn_need > self.p_bucket):
+                        # the server's slot buffers were sized at the first
+                        # admission; a request needing a bigger attention
+                        # bucket (huge max_new_tokens / longer video than
+                        # anything seen) can never fit THIS server instance.
+                        # Raise here — inside the isolation try — so online
+                        # mode fails one request instead of tripping the
+                        # _admit assert and killing the worker thread.
+                        raise ValueError(
+                            f"request bucket {st.attn_need} exceeds server "
+                            f"prefill bucket {self.p_bucket} (max_new_tokens"
+                            " or video length too large for this server)"
                         )
                 except Exception as e:
                     if not isolate_errors:

@@ -127,6 +127,7 @@ def test_continuous_serve_sampling_matches_sequential(tiny, rng):
         np.testing.assert_array_equal(res.tokens, s.tokens)
 
 
+@pytest.mark.slow
 def test_continuous_serve_llava(rng):
     """The server is family-agnostic: LLaVA-OneVision (1-D RoPE, SigLIP
     tower) serves continuously with the same token parity — its engine
@@ -181,6 +182,7 @@ def test_continuous_serve_llava(rng):
         np.testing.assert_array_equal(res.tokens, s.tokens)
 
 
+@pytest.mark.slow
 def test_continuous_serve_int8_kv(tiny, rng):
     """int8 KV cache under continuous batching: admission pads the scale
     planes alongside k/v; greedy tokens match the engine's own sequential
@@ -772,6 +774,132 @@ def test_serve_prefix_cache_reuses_prefill(tiny, rng, monkeypatch):
     seq_t = engine.generate(ids_t, max_new_tokens=8)
     res_t = server.run([dict(input_ids=ids_t, video_key="vidT")])
     np.testing.assert_array_equal(res_t[0].tokens, seq_t.tokens)
+
+
+def test_serve_prefix_budget_overflow_recaptures(tiny, rng, monkeypatch):
+    """A cached VideoPrefix whose budget is outgrown by a later request
+    (bigger max_new_tokens than anything seen at capture) is evicted and
+    recaptured with the larger allowance — NOT left to force an inline
+    fallback forever while pinning HBM (round-4 ADVICE). The overflowing
+    request itself and every later one stay token-exact."""
+    import retake_tpu.runtime.engine as engine_mod
+
+    # shrink the budget bucket so the overflow is reachable with a decode
+    # short enough for CPU tests (default rounds every budget up to 8192)
+    monkeypatch.setattr(engine_mod, "BUDGET_BUCKET", 64)
+    engine, _ = _build(tiny, rng, n_reqs=0)
+    ids1, patches, grid = make_video_request(cfg=engine.cfg, rng=rng,
+                                             grid_t=2, prompt_len=4)
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=4,
+        gap_capacity=64, prefix_cache_slots=1,
+        # slot buffers must already fit the post-recapture bucket (a server
+        # sized from the small first request would reject the big one — see
+        # test_serve_rejects_over_bucket_request)
+        prefill_bucket=1024,
+    )
+    r1 = server.run([dict(input_ids=ids1, pixel_values_videos=patches,
+                          video_grid_thw=grid, video_key="vidA")])
+    seq1 = engine.generate(ids1, patches, grid, max_new_tokens=4)
+    np.testing.assert_array_equal(r1[0].tokens, seq1.tokens)
+    vp = server._prefix_cache["vidA"]
+    big = vp.budget - vp.final_len + 8  # overflows the captured budget
+
+    seq_big = engine.generate(ids1, patches, grid, max_new_tokens=big)
+    r2 = server.run([dict(input_ids=ids1, video_key="vidA",
+                          max_new_tokens=big)])
+    assert server.stats["prefix_mismatch_fallbacks"] == 1
+    assert server.stats["prefix_budget_recaptures"] == 1
+    np.testing.assert_array_equal(r2[0].tokens, seq_big.tokens)
+    vp2 = server._prefix_cache["vidA"]
+    assert vp2 is not vp and vp2.budget > vp.budget
+
+    # the recaptured entry serves the larger allowance: same request again
+    # is a clean reuse — no new fallback, no new capture
+    hits = server.stats["prefix_cache_hits"]
+    r3 = server.run([dict(input_ids=ids1, video_key="vidA",
+                          max_new_tokens=big)])
+    assert server.stats["prefix_mismatch_fallbacks"] == 1
+    assert server.stats["prefix_budget_recaptures"] == 1
+    assert server.stats["prefix_cache_hits"] == hits + 1
+    np.testing.assert_array_equal(r3[0].tokens, seq_big.tokens)
+
+
+def test_serve_rejects_over_bucket_request(tiny, rng, monkeypatch):
+    """A request whose attention bucket exceeds the server's (sized at the
+    first admission) fails gracefully: offline run() raises (fail-fast
+    bench semantics), online mode fails ONE request with an error result
+    and keeps serving — it must never trip the _admit assert and kill the
+    worker thread."""
+    import retake_tpu.runtime.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "BUDGET_BUCKET", 64)
+    engine, _ = _build(tiny, rng, n_reqs=0)
+    ids1, patches, grid = make_video_request(cfg=engine.cfg, rng=rng,
+                                             grid_t=2, prompt_len=4)
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=4,
+        gap_capacity=64,
+    )
+    small = dict(input_ids=ids1, pixel_values_videos=patches,
+                 video_grid_thw=grid)
+    big = dict(small, max_new_tokens=512)  # bucket far beyond the server's
+    with server.start_online() as handle:
+        f0 = handle.submit(dict(small))  # sizes p_bucket
+        assert len(f0.result(timeout=300).tokens) > 0
+        f1 = handle.submit(big)
+        res = f1.result(timeout=300)
+        assert res.error and "exceeds server prefill bucket" in res.error
+        # the loop survived: later requests still serve
+        f2 = handle.submit(dict(small))
+        np.testing.assert_array_equal(f2.result(timeout=300).tokens,
+                                      f0.result().tokens)
+    assert server.stats["requests_failed"] == 1
+
+    with pytest.raises(ValueError, match="exceeds server prefill bucket"):
+        server2 = ContinuousServer(
+            engine, batch_slots=2, segment_steps=3, max_new_tokens=4,
+            gap_capacity=64,
+        )
+        server2.run([dict(small), big])
+
+
+def test_serve_prefix_unsupported_disables_cache(tiny, rng, monkeypatch):
+    """prompt_guided_compression folds the question into every video chunk,
+    so no question-independent prefill exists: the first keyed capture
+    raises PrefixUnsupported (a dedicated type — NOT string matching) and
+    the server disables its prefix cache for good; later keyed requests
+    never pay another capture attempt."""
+    _, cfg, params = tiny
+    rt = RetakeConfig.from_dict(
+        {"longvideo_kwargs": {"chunked_prefill_frames": 2,
+                              "frame_chunk_size": 2,
+                              "kvcache_compression": True,
+                              "kvcache_compression_kwargs": {
+                                  "compression_ratio": 0.6,
+                                  "prompt_guided_compression": True,
+                              }}}
+    )
+    engine = Qwen2VLEngine(cfg, params, rt)
+    ids1, patches, grid = make_video_request(cfg=cfg, rng=rng,
+                                             grid_t=2, prompt_len=4)
+    seq = engine.generate(ids1, patches, grid, max_new_tokens=6)
+    server = ContinuousServer(
+        engine, batch_slots=2, segment_steps=3, max_new_tokens=6,
+        gap_capacity=64, prefix_cache_slots=1,
+    )
+    req = dict(input_ids=ids1, pixel_values_videos=patches,
+               video_grid_thw=grid, video_key="vidA")
+    res = server.run([dict(req), dict(req)])
+    assert server.stats["prefix_capture_failures"] == 1
+    assert server._prefix_disabled
+    for r in res:
+        np.testing.assert_array_equal(r.tokens, seq.tokens)
+    # a later keyed request skips the capture path entirely (no new
+    # failure, no new miss) but still answers correctly
+    res2 = server.run([dict(req)])
+    assert server.stats["prefix_capture_failures"] == 1
+    np.testing.assert_array_equal(res2[0].tokens, seq.tokens)
 
 
 def test_serve_prefix_cache_llava(rng):
