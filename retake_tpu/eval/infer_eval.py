@@ -309,7 +309,18 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 inputs = processor(message["question"], message["video"])
                 return i, message, meta, inputs
 
-            from retake_tpu.runtime.engine import PrefixMismatch
+            from retake_tpu.runtime.engine import (
+                PrefixMismatch,
+                PrefixUnsupported,
+            )
+
+            # reuse-outcome accounting: every journaled sample below carries
+            # prefill_reused plus (on fallback) prefill_fallback — so a
+            # future accuracy-drift investigation can attribute each answer
+            # to the reuse vs inline path per sample (round-4 VERDICT #6)
+            reuse_counts = {"reused": 0, "mismatch": 0,
+                            "capture_failed": 0, "unsupported": 0}
+            prefix_unsupported = False
 
             for gi, loaded in prefetch_iter(
                 list(range(len(groups))), load_group,
@@ -330,15 +341,28 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                 # to the vision-features path, never silently drift)
                 prefix = None
                 prefix_s = 0.0
-                try:
-                    t_pfx = time.time()
-                    prefix = engine.encode_prefix(
-                        inputs["input_ids"], video_features=features,
-                        max_new_tokens=rt.max_new_tokens,
-                    )
-                    prefix_s = time.time() - t_pfx
-                except ValueError as e:
-                    print(f"[rank {rank}] prefix capture unavailable: {e}")
+                capture_fallback = None
+                if prefix_unsupported:
+                    capture_fallback = "unsupported"
+                else:
+                    try:
+                        t_pfx = time.time()
+                        prefix = engine.encode_prefix(
+                            inputs["input_ids"], video_features=features,
+                            max_new_tokens=rt.max_new_tokens,
+                        )
+                        prefix_s = time.time() - t_pfx
+                    except PrefixUnsupported as e:
+                        # config-level (prompt_guided_compression): no
+                        # question-independent prefill exists for ANY video
+                        # under this config — stop attempting captures
+                        prefix_unsupported = True
+                        capture_fallback = "unsupported"
+                        print(f"[rank {rank}] prefix reuse unsupported "
+                              f"by config: {e}")
+                    except ValueError as e:
+                        capture_fallback = "capture_failed"
+                        print(f"[rank {rank}] prefix capture failed: {e}")
                 for j, midx in enumerate(groups[gi]):
                     if j == 0:
                         sample = (i, message, meta)
@@ -357,6 +381,7 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                             )["input_ids"]
                         sample = (midx, msg_j, meta_j)
                         extras = {"vision_s": 0.0, "vision_reused": True}
+                    fallback = capture_fallback
                     if prefix is not None:
                         try:
                             dispatch_one(
@@ -364,19 +389,25 @@ def run_eval(engine, processor, dataset, rt, rank, world, resume=True):
                                 dict(input_ids=in_ids, prefix=prefix),
                                 {**extras, "prefill_reused": True},
                             )
+                            reuse_counts["reused"] += 1
                             continue
                         except PrefixMismatch as e:
+                            fallback = "mismatch"
                             print(f"[rank {rank}] prefix fallback "
                                   f"(idx {sample[0]}): {e}")
+                    reuse_counts[fallback or "capture_failed"] += 1
                     dispatch_one(
                         sample,
                         dict(input_ids=in_ids, video_features=features),
-                        extras,
+                        {**extras, "prefill_reused": False,
+                         "prefill_fallback": fallback or "capture_failed"},
                     )
                 del features, prefix, loaded, inputs  # free the video's
                 #   embeddings + captured KV snapshot
             for bucket in sorted(pending):
                 flush_batch(bucket)
+            print(f"[rank {rank}] prefix reuse summary: "
+                  + ", ".join(f"{k}={v}" for k, v in reuse_counts.items()))
             return done
 
         for _, loaded in prefetch_iter(

@@ -64,6 +64,7 @@ def fake_benchmark(tmp_path_factory):
     return str(anno_file), str(root)
 
 
+@pytest.mark.slow
 def test_eval_harness_end_to_end(fake_benchmark, tmp_path):
     anno_file, _ = fake_benchmark
     cfg = TINY_TEST_CONFIG
@@ -146,6 +147,7 @@ def test_prefetch_iter_order_and_overlap():
     assert t_prefetch < t_serial * 0.85, (t_prefetch, t_serial)
 
 
+@pytest.mark.slow
 def test_eval_harness_batched_matches_serial(fake_benchmark, tmp_path):
     """eval_batch_size > 1: same answers as the per-sample loop (greedy
     batched decode is token-exact), same journal/merge artifacts."""
@@ -288,3 +290,96 @@ def test_eval_reuse_video_features(shared_video_benchmark, tmp_path,
     n_encodes = 0
     done0b = run_eval(None, processor, dataset, rt, rank=0, world=2)
     assert done0b == done0 and n_encodes == 0
+
+
+def _journal_records(out_dir, rank=0):
+    with open(os.path.join(out_dir, f"shard_{rank:03d}.jsonl")) as f:
+        return [json.loads(line) for line in f]
+
+
+def test_eval_reuse_journal_outcomes(shared_video_benchmark, tmp_path,
+                                     monkeypatch):
+    """Every journaled sample under reuse_video_features attributes its
+    answer to the reuse vs inline path: metrics.prefill_reused always
+    present, metrics.prefill_fallback names the reason on the inline path
+    (mismatch / capture_failed / unsupported) — round-4 VERDICT #6."""
+    cfg = TINY_TEST_CONFIG
+    params = params_lib.init_params(cfg, seed=0, dtype=jnp.float32)
+
+    def build_rt(out):
+        return RetakeConfig.from_dict({
+            "dataset_name": "videomme", "max_new_tokens": 4,
+            "output_dir": str(tmp_path / out),
+            "reuse_video_features": True,
+            "longvideo_kwargs": {"chunked_prefill_frames": 4,
+                                 "frame_chunk_size": 4},
+        })
+
+    processor = Qwen2VLProcessor(
+        StubTokenizer(),
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        video_token_id=cfg.video_token_id,
+        patch_size=cfg.vision.patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        min_pixels=1,
+    )
+    dataset = BaseDataset(
+        shared_video_benchmark,
+        processor_kwargs=dict(video_fps=4, video_maxlen=8,
+                              image_resolution=84,
+                              video_frame_extraction_fps=2),
+    )
+    allowed = {"mismatch", "capture_failed", "unsupported"}
+
+    def check(out_dir, n_expected):
+        recs = _journal_records(out_dir)
+        assert len(recs) == n_expected
+        for rec in recs:
+            m = rec["metrics"]
+            assert isinstance(m["prefill_reused"], bool)
+            if m["prefill_reused"]:
+                assert "prefill_fallback" not in m
+            else:
+                assert m["prefill_fallback"] in allowed
+        return recs
+
+    rt = build_rt("ok")
+    engine = Qwen2VLEngine(cfg, params, rt)
+    base = run_eval(engine, processor, dataset, rt, rank=0, world=1)
+    recs = check(rt.output_dir, 6)
+    # healthy path on this config: every sample reuses the captured prefix
+    assert all(r["metrics"]["prefill_reused"] for r in recs)
+
+    # capture failure (per-video): every sample falls back, reason recorded,
+    # answers unchanged (correctness never depends on the cache)
+    def boom(self, *a, **kw):
+        raise ValueError("synthetic capture failure")
+
+    monkeypatch.setattr(Qwen2VLEngine, "encode_prefix", boom)
+    rt = build_rt("capfail")
+    done = run_eval(engine, processor, dataset, rt, rank=0, world=1)
+    recs = check(rt.output_dir, 6)
+    assert all(r["metrics"]["prefill_fallback"] == "capture_failed"
+               for r in recs)
+    assert done == base
+
+    # config-level unsupported: first capture raises PrefixUnsupported,
+    # later videos must not even attempt a capture
+    from retake_tpu.runtime.engine import PrefixUnsupported
+
+    calls = 0
+
+    def unsupported(self, *a, **kw):
+        nonlocal calls
+        calls += 1
+        raise PrefixUnsupported("synthetic: prompt_guided_compression")
+
+    monkeypatch.setattr(Qwen2VLEngine, "encode_prefix", unsupported)
+    rt = build_rt("unsup")
+    done = run_eval(engine, processor, dataset, rt, rank=0, world=1)
+    recs = check(rt.output_dir, 6)
+    assert all(r["metrics"]["prefill_fallback"] == "unsupported"
+               for r in recs)
+    assert calls == 1 and done == base
