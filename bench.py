@@ -292,6 +292,124 @@ def bench_7b_int8():
         return None
 
 
+def run_flagship_7b_int8kv(frames: int = NUM_FRAMES) -> dict:
+    """Best-config 7B flagship arm: W8A8 + int8 KV cache at 2048 frames.
+
+    Round-4 VERDICT #5: the repo's best 7B configuration (kv_cache_dtype:
+    int8 — decode cache reads halve; measured TPOT 14.6 -> 13.2 ms in round
+    2) lived only in prose. This arm records it in the bench artifact.
+    Accuracy-gated like w8a8 (tools/first_checkpoint_gate.py); detail-only.
+    Run in a fresh subprocess — 7B pins most of HBM."""
+    try:
+        from retake_tpu.models.qwen2_vl import params as params_lib
+        from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+        from retake_tpu.runtime.engine import Qwen2VLEngine
+        from retake_tpu.utils.config import RetakeConfig
+
+        _wait_for_hbm()
+        cfg = Qwen2VLConfig()  # 7B defaults
+        params = params_lib.init_params(
+            cfg, seed=0, quantize_int8=True, quantize_vit_int8=True
+        )
+        ids, patches, grid = build_request(cfg, num_frames=frames)
+        rt = json.loads(json.dumps(RETAKE_CONFIG))
+        rt["quantization"] = "w8a8"
+        rt["kv_cache_dtype"] = "int8"
+        rt["longvideo_kwargs"]["frame_chunk_size"] = 64
+        engine = Qwen2VLEngine(cfg, params, RetakeConfig.from_dict(rt))
+        engine.generate(ids, patches, grid, max_new_tokens=33)  # compile
+        r = engine.generate(ids, patches, grid, max_new_tokens=33)
+        tpot = r.decode_seconds / max(len(r.tokens) - 1, 1) * 1000
+        return {"arm": "flagship_7b_int8kv", "frames": frames, "ok": True,
+                "ttft_s": round(r.prefill_seconds, 3),
+                "tpot_ms": round(tpot, 2)}
+    except Exception as e:  # noqa: BLE001 — detail arm, degrade to a note
+        return {"arm": "flagship_7b_int8kv", "frames": frames, "ok": False,
+                "error": f"{type(e).__name__}: {str(e)[:160]}"}
+
+
+def run_llava_1024f(frames: int = 1024) -> dict:
+    """LLaVA-Video 7B at the reference's FULL videomme operating point:
+    1024 frames (~201k tokens), 40k PivotKV cache
+    (configs/llava_video/retake_llava-video_videomme.yaml — reference
+    values), W8A8 + int8 KV on one 16 GB v5e. bf16-KV tops out at 768
+    frames on this chip, so int8 KV is what makes the reference's own
+    headline config reachable at all (docs/architecture.md, long-video
+    memory discipline). chunked_prefill_frames 16: measured 52.4 s vs
+    77.6 s at the reference's 32 (round-2, on-chip). Fresh subprocess."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from retake_tpu.models.llava_onevision import params as lparams
+        from retake_tpu.models.llava_onevision.config import (
+            LlavaOnevisionConfig,
+        )
+        from retake_tpu.runtime.llava_engine import LlavaOnevisionEngine
+        from retake_tpu.utils.config import RetakeConfig
+
+        _wait_for_hbm()
+        cfg = LlavaOnevisionConfig()  # 7B text + so400m SigLIP defaults
+        params = lparams.init_params(
+            cfg, seed=0, quantize_int8=True, quantize_vision_int8=True
+        )
+        n_tok = frames * cfg.tokens_per_frame + 1  # +1 image_newline
+        rng = np.random.default_rng(0)
+        pre = rng.integers(10, 1000, size=16).tolist()
+        post = rng.integers(10, 1000, size=48).tolist()
+        ids = np.array(
+            pre + [cfg.video_token_id] * n_tok + post, dtype=np.int64
+        )
+        s = cfg.vision.image_size
+
+        @jax.jit
+        def _gen_frames():  # device-side: host numpy is ~5 MB/s here
+            return jax.random.randint(
+                jax.random.key(0), (frames, s, s, 3), 0, 255, dtype=jnp.int32
+            ).astype(jnp.uint8)
+
+        vid = _gen_frames()
+        rt = {
+            "scaling_factor": 4,
+            "quantization": "w8a8",
+            "kv_cache_dtype": "int8",
+            "longvideo_kwargs": {
+                "frame_chunk_size": 32,
+                "chunked_prefill_frames": 16,
+                "visual_compression": True,
+                "visual_compression_kwargs": {
+                    "compression_ratio": 1.0,
+                    "compression_method": "Keyframe",
+                    "patch_sync": False,
+                    "return_keyframe_mask": True,
+                },
+                "kvcache_compression": True,
+                "kvcache_compression_kwargs": {
+                    "dynamic_compression_ratio": True,
+                    "compression_method": "pivotkv",
+                    "pos_embed_reforge": True,
+                    "max_input_length": 40000,
+                },
+            },
+        }
+        engine = LlavaOnevisionEngine(cfg, params, RetakeConfig.from_dict(rt))
+        engine.generate(ids, vid, max_new_tokens=33)  # compile
+        r = engine.generate(ids, vid, max_new_tokens=33)
+        tpot = r.decode_seconds / max(len(r.tokens) - 1, 1) * 1000
+        return {"arm": "llava_1024f_int8kv", "frames": frames, "ok": True,
+                "tokens": int(n_tok), "ttft_s": round(r.prefill_seconds, 3),
+                "tpot_ms": round(tpot, 2)}
+    except Exception as e:  # noqa: BLE001 — detail arm, degrade to a note
+        return {"arm": "llava_1024f_int8kv", "frames": frames, "ok": False,
+                "error": f"{type(e).__name__}: {str(e)[:160]}"}
+
+
+SPECIAL_ARMS = {
+    "flagship_7b_int8kv": run_flagship_7b_int8kv,
+    "llava_1024f_int8kv": run_llava_1024f,
+}
+
+
 def bench_batch_decode(engine, cfg, n_requests=4, max_new=64):
     """Batched-serving decode throughput at 2B: n small (64-frame) requests,
     sequential prefill + one vmapped decode (engine.generate_batch).
@@ -391,6 +509,15 @@ def main():
     seven_b = bench_7b_int8()
     jax.clear_caches()
     gc.collect()
+
+    # best-config detail arms, each in a fresh subprocess (7B/LLaVA pin most
+    # of HBM; a dead client's HBM is freed by the axon server on its own)
+    seven_b_int8kv = run_arm_subprocess(
+        "flagship_7b_int8kv", NUM_FRAMES, timeout_s=2400
+    )
+    print(f"# flagship_7b_int8kv: {json.dumps(seven_b_int8kv)}", flush=True)
+    llava_arm = run_arm_subprocess("llava_1024f_int8kv", 1024, timeout_s=3000)
+    print(f"# llava_1024f_int8kv: {json.dumps(llava_arm)}", flush=True)
     _wait_for_hbm(8)
 
     cfg, params = build_model()
@@ -601,6 +728,21 @@ def main():
             "on the MXU int8 path); the naive full-cache baseline cannot "
             "run at this scale at all"
         )
+    # best-config arms (round-4 VERDICT #5): the flip-ready numbers carried
+    # by the bench artifact, not prose. Both accuracy-gated
+    # (tools/first_checkpoint_gate.py) like the w8a8 arm above.
+    detail["flagship_7b_int8kv"] = {
+        **seven_b_int8kv,
+        "note": "7B best config: W8A8 + kv_cache_dtype int8 (halved decode "
+                "cache reads) at 2048 frames",
+    }
+    detail["llava_1024f_int8kv"] = {
+        **llava_arm,
+        "note": "LLaVA-Video 7B at the reference's videomme operating point "
+                "(1024 frames / ~201k tokens / 40k PivotKV cache) on one "
+                "16 GB v5e — reachable only with int8 KV (bf16-KV tops out "
+                "at 768 frames)",
+    }
     print(
         json.dumps(
             {
@@ -619,9 +761,15 @@ if __name__ == "__main__":
         import argparse
 
         p = argparse.ArgumentParser()
-        p.add_argument("--arm", choices=sorted(NAIVE_ARM_CONFIGS))
+        p.add_argument(
+            "--arm",
+            choices=sorted(NAIVE_ARM_CONFIGS) + sorted(SPECIAL_ARMS),
+        )
         p.add_argument("--frames", type=int, default=NUM_FRAMES)
         a = p.parse_args()
-        print(json.dumps(run_arm(a.arm, a.frames)))
+        if a.arm in SPECIAL_ARMS:
+            print(json.dumps(SPECIAL_ARMS[a.arm](a.frames)))
+        else:
+            print(json.dumps(run_arm(a.arm, a.frames)))
         sys.exit(0)
     sys.exit(main())

@@ -14,6 +14,7 @@ from retake_tpu.utils import positions as pos_lib
 from retake_tpu.utils.config import RetakeConfig
 
 
+@pytest.mark.slow
 def test_smart_resize_matches_hf():
     transformers = pytest.importorskip("transformers")
     from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
@@ -347,6 +348,7 @@ class _StubTok:
         return "x"
 
 
+@pytest.mark.slow
 def test_qwen_processor_images_end_to_end(rng):
     """Processor image path feeds the engine: placeholder counts match the
     ViT token production for mixed image + video."""
@@ -395,6 +397,7 @@ def test_qwen_processor_images_end_to_end(rng):
     assert len(r.tokens) >= 1
 
 
+@pytest.mark.slow
 def test_llava_processor_images_end_to_end(rng):
     import jax.numpy as jnp
 

@@ -289,6 +289,7 @@ def test_pallas_impl_matches_flash_full_pipeline(tiny, rng):
     assert results["pallas"].cache_len == results["flash"].cache_len
 
 
+@pytest.mark.slow
 def test_do_sample_seeded_deterministic(tiny, rng):
     """Config do_sample is honored: seeded sampling is deterministic under a
     fixed seed, and near-zero temperature reproduces greedy (reference
@@ -358,6 +359,7 @@ def test_prompt_guided_compression(tiny, rng):
     assert r1.cache_len == expected, (r1.cache_len, expected)
 
 
+@pytest.mark.slow
 def test_generate_batch_matches_sequential(tiny, rng):
     """Batched decode (generate_batch) must be token-exact vs per-request
     generate under greedy decoding — same caches, same decode math, just
@@ -395,6 +397,7 @@ def test_generate_batch_matches_sequential(tiny, rng):
         assert b.cache_len == s.cache_len
 
 
+@pytest.mark.slow
 def test_generate_batch_eos_first_token(tiny, rng):
     """A request whose first token is EOS must not join the decode batch —
     including the all-finished case where NO batched loop runs at all.
@@ -496,6 +499,7 @@ def test_generate_batch_mixed_text_only_and_video(tiny, rng):
         np.testing.assert_array_equal(b.tokens, s.tokens)
 
 
+@pytest.mark.slow
 def test_prefill_state_trimmed_and_mixed_bucket_decode(tiny, rng, monkeypatch):
     """A prefill-only state's cache is trimmed to its own decode bucket
     (PrefillState.attn_need) instead of holding the full prefill budget, and
@@ -570,6 +574,7 @@ def test_generate_batch_sampling_matches_sequential(tiny, rng):
         np.testing.assert_array_equal(b.tokens, s.tokens)
 
 
+@pytest.mark.slow
 def test_decode_batch_early_stop_matches_scan(tiny, rng):
     """while_loop early-exit batched decode (decode_batch(early_stop=True))
     is token-identical to the static scan — both when no request hits EOS
@@ -695,6 +700,7 @@ def test_video_features_reuse_matches_inline(tiny, rng, vc_kwargs):
         assert reused.cache_len == inline.cache_len
 
 
+@pytest.mark.slow
 def test_spec_decode_matches_vanilla(tiny, rng):
     """Prompt-lookup speculative decoding (config spec_decode): greedy
     tokens identical to the s=1 decode loop — including multi-token

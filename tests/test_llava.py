@@ -236,6 +236,7 @@ def test_llava_mixed_image_video_matches_hf(tiny_anyres, rng):
     np.testing.assert_array_equal(got.tokens, expected)
 
 
+@pytest.mark.slow
 def test_llava_w8a8_and_batch(tiny, rng):
     """W8A8 LLaVA: SigLIP + projector + text decoder int8-quantized, engine
     runs deterministically; generate_batch token-exact vs sequential
@@ -344,6 +345,7 @@ def test_llava_video_features_reuse_matches_inline(tiny, rng):
         assert reused.cache_len == inline.cache_len
 
 
+@pytest.mark.slow
 def test_llava_spec_decode_matches_vanilla(tiny, rng):
     """spec_decode through the shared prefill_and_decode core with the
     LLaVA family (1-D RoPE positions, reforge): tokens identical to the

@@ -8,9 +8,12 @@ as two OS processes on the CPU backend (tools/multihost_smoke.py)."""
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 
 
+@pytest.mark.slow
 def test_two_process_coordinator_eval():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)

@@ -154,6 +154,7 @@ def test_engine_run_vision_uses_tp_mesh(setup, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_llava_tp_engine_matches_single_device(rng):
     """LLaVA TP: frame-sharded SigLIP tower (_siglip_chunk_tp) + kv-head-
     sharded cache — full-engine greedy tokens match the unsharded engine."""

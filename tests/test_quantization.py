@@ -90,6 +90,7 @@ def test_w8a8_decoder_chunk_close_to_bf16(rng):
     assert cos > 0.98, cos
 
 
+@pytest.mark.slow
 def test_engine_runs_w8a8(rng):
     """quantization: w8a8 end-to-end: engine runs with int8 LLM + ViT
     weights, activation quant at prefill, deterministic tokens."""
@@ -133,6 +134,7 @@ def test_engine_runs_w8a8(rng):
     np.testing.assert_array_equal(r1.tokens, r2.tokens)
 
 
+@pytest.mark.slow
 def test_engine_runs_quantized(rng):
     from retake_tpu.models.qwen2_vl import params as params_lib
     from retake_tpu.models.qwen2_vl.config import TINY_TEST_CONFIG
@@ -233,6 +235,7 @@ def test_pallas_kernel_int8_cache_matches_xla(rng):
     )
 
 
+@pytest.mark.slow
 def test_engine_int8_kv_cache(rng):
     """kv_cache_dtype: int8 end-to-end — deterministic, same cache plan as
     bf16, int8 buffers actually in use, batched decode token-exact vs
