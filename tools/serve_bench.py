@@ -214,6 +214,175 @@ def run_mixed_decode_impl(eng, max_new=256, impls=("xla", "pallas"),
         }), flush=True)
 
 
+def _vp_bytes(vp):
+    """Hand-accounted HBM pinned by one cached VideoPrefix (cache +
+    features): memory_stats() is unavailable through the axon tunnel, so
+    leak checks must count bytes themselves."""
+    import jax
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves((vp.cache, vp.features)):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "size"):
+            total += int(leaf.size) * leaf.dtype.itemsize
+    return total
+
+
+def run_prefix_ab(eng, n_videos=8, q_per_video=3, slots=4, batch_slots=4,
+                  mean_interval_s=0.5, max_new=32, seed=0):
+    """Serving prefix-cache load test (round-4 VERDICT #3): the eval
+    workload shape — q_per_video consecutive questions per video (VideoMME
+    asks 3; reference recomputes the whole video prefill per question,
+    reference qwen2_vl.py:670-720) — under Poisson arrivals, with
+    ``prefix_cache_slots`` on vs off on the SAME trace.
+
+    Per arm: throughput, latency/TTFT percentiles, the server's prefix
+    stats, and hand-accounted pinned HBM (entries x cache+embeds bytes —
+    memory_stats() is tunnel-unavailable). Asserts the stats invariants:
+    every keyed admission is a hit or a miss, one miss (capture) per video
+    while its entry is resident, and the cache never exceeds its slots.
+    Run with --n_videos 60+ for a soak (hundreds of requests, LRU churn
+    when slots < n_videos exercises entry create/release)."""
+    rng = np.random.default_rng(seed)
+    ids0, patches, grid = bench.build_request(eng.cfg, num_frames=64)
+    reqs = []
+    for v in range(n_videos):
+        for _ in range(q_per_video):
+            ids = ids0.copy()
+            ids[-48:] = rng.integers(10, 1000, size=48)  # fresh question
+            reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
+                             video_grid_thw=grid, video_key=f"vid{v}"))
+    arrivals = _trace(len(reqs), mean_interval_s, seed)
+
+    kw = dict(batch_slots=batch_slots, segment_steps=16,
+              max_new_tokens=max_new)
+    # warm every jit off-trace: inline prefill + decode (off arm), capture +
+    # suffix-only prefill (on arm). Same engine => shared compile caches.
+    warm = [dict(r) for r in reqs[: max(2, q_per_video)]]
+    ContinuousServer(eng, prefix_cache_slots=1, **kw).run(warm)
+    ContinuousServer(eng, prefix_cache_slots=0, **kw).run(warm[:1])
+
+    out = {}
+    for label, s in (("prefix_off", 0), ("prefix_on", slots)):
+        server = ContinuousServer(eng, prefix_cache_slots=s, **kw)
+        t0 = time.perf_counter()
+        res = server.run([dict(r) for r in reqs], arrival_times=arrivals)
+        wall = time.perf_counter() - t0
+        errs = [r.error for r in res if r.error]
+        assert not errs, errs[:3]
+        n_tok = sum(len(r.tokens) for r in res)
+        rec = _stats(label, [r.latency_s for r in res],
+                     [r.ttft_s for r in res], n_tok, wall)
+        st = server.stats
+        rec["prefix_stats"] = {k: v for k, v in st.items()
+                               if k.startswith("prefix")}
+        # ---- invariants (VERDICT #3) ----
+        assert st["requests_admitted"] == len(reqs)
+        if s > 0:
+            keyed = st["prefix_cache_hits"] + st["prefix_cache_misses"]
+            assert keyed >= len(reqs), (keyed, len(reqs))  # recaptures add
+            assert st["prefix_capture_failures"] == 0, st
+            # grouped arrivals: one capture per video while resident; LRU
+            # churn (slots < n_videos) only ever RE-captures on a new group
+            assert st["prefix_cache_misses"] == n_videos, st
+            assert len(server._prefix_cache) <= s
+            pinned = sum(_vp_bytes(vp)
+                         for vp in server._prefix_cache.values())
+            rec["pinned_hbm_mb"] = round(pinned / 2**20, 1)
+            rec["pinned_entries"] = len(server._prefix_cache)
+            print(json.dumps({"pinned_hbm_mb": rec["pinned_hbm_mb"],
+                              "pinned_entries": rec["pinned_entries"]}),
+                  flush=True)
+        else:
+            assert st["prefix_cache_hits"] == st["prefix_cache_misses"] == 0
+        out[label] = rec
+    print(json.dumps({
+        "prefix_throughput_speedup": round(
+            out["prefix_on"]["decode_tok_s"]
+            / out["prefix_off"]["decode_tok_s"], 2),
+        "prefix_ttft_p50_speedup": round(
+            out["prefix_off"]["ttft_p50_s"]
+            / out["prefix_on"]["ttft_p50_s"], 2),
+        "prefix_latency_p95_speedup": round(
+            out["prefix_off"]["latency_p95_s"]
+            / out["prefix_on"]["latency_p95_s"], 2),
+    }), flush=True)
+    return out
+
+
+def run_soak(eng, n=200, n_videos=5, batch_slots=4, max_new=32, seed=0):
+    """On-chip serving soak (round-4 VERDICT #4): n online requests through
+    one start_online worker with cancels (every 13th), queued-expired
+    deadlines (every 17th), keyed prefix + vision caches, compaction, and
+    early-stop decode, then the invariant sweep the CPU soak test pins
+    (tests/test_serve.py::test_online_soak_invariants): every future
+    resolves, stats balance, caches stay bounded, pinned HBM is
+    hand-accounted (memory_stats() is tunnel-unavailable)."""
+    rng = np.random.default_rng(seed)
+    ids0, patches, grid = bench.build_request(eng.cfg, num_frames=64)
+    server = ContinuousServer(
+        eng, batch_slots=batch_slots, segment_steps=16,
+        max_new_tokens=max_new, prefix_cache_slots=2, vision_cache_slots=2,
+    )
+    futures, kinds = [], []
+    t0 = time.perf_counter()
+    with server.start_online() as handle:
+        for i in range(n):
+            ids = ids0.copy()
+            ids[-48:] = rng.integers(10, 1000, size=48)
+            req = dict(input_ids=ids, pixel_values_videos=patches,
+                       video_grid_thw=grid,
+                       video_key=f"v{(i // 3) % n_videos}")
+            if i % 17 == 5:
+                futures.append(handle.submit(dict(req, deadline_s=0.0)))
+                kinds.append("deadline")
+            elif i % 13 == 7:
+                futures.append(handle.submit(
+                    req, on_tokens=lambda rid, toks: False))
+                kinds.append("cancel")
+            else:
+                futures.append(handle.submit(req))
+                kinds.append("normal")
+        results = [f.result(timeout=3600) for f in futures]
+        tail = handle.submit(dict(input_ids=ids0,
+                                  pixel_values_videos=patches,
+                                  video_grid_thw=grid)).result(timeout=600)
+    wall = time.perf_counter() - t0
+    assert not tail.cancelled and not tail.error
+    st = server.stats
+    n_kind = {k: kinds.count(k) for k in set(kinds)}
+    assert len(results) == n
+    assert st["requests_rejected_deadline"] == n_kind["deadline"]
+    assert st["requests_admitted"] == n + 1 - n_kind["deadline"]
+    assert (st["requests_finished"] + st["requests_cancelled"]
+            == st["requests_admitted"])
+    assert st["tokens_emitted"] == (
+        sum(len(r.tokens) for r in results) + len(tail.tokens))
+    for r, k in zip(results, kinds):
+        if k == "deadline":
+            assert r.cancelled and len(r.tokens) == 0
+        elif k == "cancel":
+            assert r.cancelled or len(r.tokens) == 1  # EOS-at-first wins
+        else:
+            assert not r.cancelled and not r.error and len(r.tokens) >= 1
+    assert len(server._prefix_cache) <= 2
+    assert st["prefix_capture_failures"] == 0
+    assert (st["prefix_cache_hits"] + st["prefix_cache_misses"]
+            == st["requests_admitted"])
+    pinned = sum(_vp_bytes(vp) for vp in server._prefix_cache.values())
+    normal = [r for r, k in zip(results, kinds) if k == "normal"]
+    print(json.dumps({
+        "soak": {
+            "requests": n, "wall_s": round(wall, 1),
+            "decode_tok_s": round(st["tokens_emitted"] / wall, 1),
+            "latency_p95_s": round(float(np.percentile(
+                [r.latency_s for r in normal], 95)), 3),
+            "stats": st,
+            "pinned_hbm_mb": round(pinned / 2**20, 1),
+            "invariants": "ok",
+        },
+    }), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--poisson", action="store_true",
@@ -226,6 +395,18 @@ def main():
                    help="mixed_impl arm selection: run ONE impl per process "
                         "(the two arms' servers pin too much HBM to share "
                         "a 16 GB client — OOM observed 2026-08-19)")
+    p.add_argument("--prefix", action="store_true",
+                   help="serving prefix-cache A/B + soak: q_per_video "
+                        "questions per video under Poisson arrivals, "
+                        "prefix_cache_slots on vs off, stats invariants + "
+                        "hand-accounted pinned HBM")
+    p.add_argument("--n_videos", type=int, default=8)
+    p.add_argument("--q_per_video", type=int, default=3)
+    p.add_argument("--prefix_slots", type=int, default=4)
+    p.add_argument("--soak", action="store_true",
+                   help="online serving soak: n_requests through "
+                        "start_online with cancels/deadlines/caches, "
+                        "invariant sweep at the end")
     p.add_argument("--long_admission", action="store_true",
                    help="interleaved-prefill A/B: short request decoding "
                         "while a 512-frame request is admitted")
@@ -254,6 +435,17 @@ def main():
         reqs.append(dict(input_ids=ids, pixel_values_videos=patches,
                          video_grid_thw=grid))
 
+    if args.soak:
+        run_soak(eng, n=max(args.n_requests, 50), batch_slots=args.batch,
+                 max_new=args.max_new)
+        return
+    if args.prefix:
+        run_prefix_ab(
+            eng, n_videos=args.n_videos, q_per_video=args.q_per_video,
+            slots=args.prefix_slots, batch_slots=args.batch,
+            mean_interval_s=args.mean_interval_s, max_new=args.max_new,
+        )
+        return
     if args.long_admission:
         run_long_admission(eng)
         return
