@@ -31,9 +31,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: end-to-end tests that dominate suite wall time on this "
-        "1-core host. Fast loop: `pytest -m 'not slow' -q` (~minutes); "
-        "the full suite remains the CI bar (~25-30 min, needs a dedicated "
-        "core — never run it concurrently with another heavy process).",
+        "1-core host. Fast loop: `pytest -m 'not slow' -q` (measured "
+        "2026-08-20: ~7.5 min); the full suite remains the CI bar "
+        "(measured 14-15 min, needs a dedicated core — never run it "
+        "concurrently with another heavy process).",
     )
 
 

@@ -68,11 +68,16 @@ def _request(cfg, rng, n_video=64, grid=(8, 8, 4), prompt_len=6):
 @pytest.mark.parametrize(
     "ratio,reforge,prompt_guided,attn_impl,mrope",
     [
-        (0.5, True, False, "xla", True),
+        # the two heaviest arms are slow-marked; every dimension (xla /
+        # flash / pallas impls, reforge on/off, prompt-guided on/off, both
+        # RoPE layouts) keeps one fast representative
+        pytest.param(0.5, True, False, "xla", True,
+                     marks=pytest.mark.slow),
         (0.5, True, True, "xla", True),
         (0.5, False, False, "xla", True),
         (0.4, True, True, "flash", True),
-        (0.5, True, False, "pallas", True),  # Pallas scoring kernel path
+        pytest.param(0.5, True, False, "pallas", True,
+                     marks=pytest.mark.slow),  # Pallas scoring kernel path
         (0.5, True, True, "pallas", False),  # 1-D RoPE (LLaVA-style decoder)
     ],
 )

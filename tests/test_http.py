@@ -51,6 +51,7 @@ def _post(url, body):
     return urllib.request.urlopen(req, timeout=300)
 
 
+@pytest.mark.slow
 def test_http_generate_and_stream(tiny, frame_dir):  # noqa: F811
     _, cfg, params = tiny
     rt = RetakeConfig.from_dict(

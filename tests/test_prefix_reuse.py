@@ -219,6 +219,7 @@ def test_qwen_prefix_batched_decode(qwen, rng):
         np.testing.assert_array_equal(b.tokens, s.tokens)
 
 
+@pytest.mark.slow
 def test_qwen_prefix_reuse_int8_kv(qwen, rng):
     """kv_cache_dtype: int8 — the VideoPrefix snapshot carries the k/v
     scale planes (the cache fork is a whole-pytree copy), and reuse stays
