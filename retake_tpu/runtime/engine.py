@@ -524,6 +524,12 @@ def _decode_loop_batch(
     #   "flash" = dead-block-skipping kernel; "xla" = full-bucket einsum
     early_stop: bool = False,  # while_loop variant: stop once every slot
     #   has emitted EOS (token-identical; see the branch below)
+    max_steps=None,  # [B] int32 — per-slot loop-output budget (request's
+    #   max_new_tokens - 1): a slot joins `done` once its own stream is
+    #   fully emitted, so early_stop stops a mixed-limit batch at
+    #   max(own finish) instead of decoding every slot to the batch max.
+    #   Post-limit outputs are masked EOS — callers already trim them
+    #   (token-identical). None = batch-uniform num_steps.
 ):
     """Batched decode: one scanned loop, the per-request step fully batched.
 
@@ -569,6 +575,9 @@ def _decode_loop_batch(
             )(logits, keys)
         nxt = jnp.where(done, jnp.int32(cfg.eos_token_id), nxt)
         done = done | (nxt == cfg.eos_token_id)
+        if max_steps is not None:
+            own_emitted = i + 1 if step_off is None else i + 1 - step_off
+            done = done | (own_emitted >= max_steps)
         off = gap_start + i
         if quantized:
             from retake_tpu.ops.quantization import quantize_kv_block
@@ -1064,6 +1073,7 @@ class Qwen2VLEngine:
         results = decode_batch(
             self.params, self.cfg, self.retake, states, batch_max,
             early_stop=bool(getattr(self.retake, "decode_early_stop", False)),
+            req_max=req_max,
         )
         for res, m in zip(results, req_max):
             if len(res.tokens) > m:
@@ -1682,6 +1692,12 @@ def decode_batch(
     #   real checkpoints (answers of a few tokens vs max_new=128) it
     #   skips the dead tail of the static scan. Opt-in until the
     #   while_loop step cost is measured on-chip vs the scan.
+    req_max: Optional[List[int]] = None,  # per-request TOTAL token budgets
+    #   (len == len(states)). With early_stop, a slot counts as done once
+    #   its own budget is emitted, so a batch mixing max_new_tokens=2 with
+    #   512 stops at the longest LIVE stream instead of decoding every
+    #   slot to the batch max. Token-identical: post-budget outputs are
+    #   masked EOS and trimmed by the existing harvest.
 ) -> List[GenerationResult]:
     """Batched decode over prefilled requests (see Engine.generate_batch).
 
@@ -1779,11 +1795,17 @@ def decode_batch(
             )
         base_key = jax.random.key(int(getattr(rt, "seed", 0)))
         rng_loop = jax.random.fold_in(base_key, 1)
+        max_steps = None
+        if req_max is not None:
+            max_steps = jnp.asarray(
+                [int(req_max[i]) - 1 for i in live], jnp.int32
+            )
         tokens, caches_out = _decode_loop_batch(
             params, cfg, k_all, v_all, base_t, pos_bases, final_lens,
             jnp.int32(gap_start), first, max_new_tokens - 1,
             sampling, rng_loop, ks_all, vs_all,
             attn_impl=attn_impl, early_stop=early_stop,
+            max_steps=max_steps,
         )
         del k_all, v_all, ks_all, vs_all, caches_out  # returned for aliasing
         tokens = np.asarray(tokens)  # [steps, B]

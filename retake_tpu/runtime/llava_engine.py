@@ -470,6 +470,7 @@ class LlavaOnevisionEngine:
         results = decode_batch(
             self.params, self.cfg.text, self.retake, states, batch_max,
             early_stop=bool(getattr(self.retake, "decode_early_stop", False)),
+            req_max=req_max,
         )
         for res, m in zip(results, req_max):
             if len(res.tokens) > m:
