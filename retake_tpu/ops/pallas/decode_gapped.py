@@ -60,6 +60,7 @@ under VMEM limits, so no SUB_K tiling is needed at decode shapes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +68,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_BK = 2048
+# RETAKE_GAPPED_BLOCK_K: experiment knob (read once at import) for the
+# grid-overhead attribution sweeps in tools/serve_decode_bisect.py.
+DEFAULT_BK = int(os.environ.get("RETAKE_GAPPED_BLOCK_K", 2048))
+# RETAKE_GAPPED_INT8_DIRECT=1: feed the int8 blocks straight into
+# dot_general (mixed bf16 x int8) instead of casting them to the compute
+# dtype first — attribution experiment for the int8-mode in-scan cost.
+INT8_DIRECT = os.environ.get("RETAKE_GAPPED_INT8_DIRECT", "0") == "1"
 ROWS = 8  # query rows per (b, kv) step: G padded to the sublane tile
 
 
@@ -143,7 +150,7 @@ def _kernel(
             q = q_ref[0, kvi]  # [ROWS, D]
             k = k_ref[0, 0, kvi] if stacked else k_ref[0, kvi]  # [BK, D]
             v = v_ref[0, 0, kvi] if stacked else v_ref[0, kvi]
-            if ks_ref is not None:
+            if ks_ref is not None and not INT8_DIRECT:
                 # commuting scales: cast int8 -> compute dtype WITHOUT the
                 # scale; the per-key scale lands on the [ROWS, BK] score /
                 # probability rows below (16x less elementwise work than
@@ -172,7 +179,7 @@ def _kernel(
                           else vs_ref[0, kvi, pl.ds(kb, 1), :])
                 p = p * vs_row  # fold the value scale into the probs
             acc_ref[0, kvi] = acc_ref[0, kvi] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m_ref[0, kvi] = jnp.broadcast_to(m_new, m_ref.shape[2:])

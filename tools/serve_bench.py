@@ -345,7 +345,8 @@ def run_soak(eng, n=200, n_videos=5, batch_slots=4, max_new=32, seed=0):
         results = [f.result(timeout=3600) for f in futures]
         tail = handle.submit(dict(input_ids=ids0,
                                   pixel_values_videos=patches,
-                                  video_grid_thw=grid)).result(timeout=600)
+                                  video_grid_thw=grid,
+                                  video_key="v0")).result(timeout=600)
     wall = time.perf_counter() - t0
     assert not tail.cancelled and not tail.error
     st = server.stats

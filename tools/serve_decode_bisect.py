@@ -75,11 +75,26 @@ def _decode_loop_nodus(
     return tokens, (k_all, v_all, ks_all, vs_all)
 
 
-def _cache_copies(compiled_text: str, dims: tuple) -> int:
+def _cache_copies(compiled_text: str, dims: tuple, show=False) -> int:
     """Count copy ops on the full-cache shape in compiled HLO."""
     shape = ",".join(str(d) for d in dims)
-    return len(re.findall(r"copy[^\n]*\[" + shape + r"\]", compiled_text)) \
-        + len(re.findall(r"\[" + shape + r"\][^\n]*copy\(", compiled_text))
+    pat = (r"copy[^\n]*\[" + shape + r"\]",
+           r"\[" + shape + r"\][^\n]*copy\(")
+    n = 0
+    for p in pat:
+        for mm in re.finditer(p, compiled_text):
+            n += 1
+            if show:
+                # locate the enclosing HLO computation for attribution
+                head = compiled_text[: mm.start()]
+                comp = re.findall(r"^(?:ENTRY )?%?([\w.\-]+) [^\n]*\{",
+                                  head, re.M)
+                line = compiled_text[
+                    compiled_text.rfind("\n", 0, mm.start()) + 1:
+                    compiled_text.find("\n", mm.end())].strip()
+                print(f"    in {comp[-1] if comp else '?'}: {line[:200]}",
+                      flush=True)
+    return n
 
 
 def main():
@@ -92,6 +107,12 @@ def main():
     p.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16")
     p.add_argument("--census", action="store_true",
                    help="also compile-and-grep HLO for full-cache copies")
+    p.add_argument("--census_only", action="store_true",
+                   help="skip the timing arms (census implies compiles "
+                        "only — cheap attribution rerun)")
+    p.add_argument("--impls", default="xla,pallas",
+                   help="comma list — run a subset (block_k sweeps only "
+                        "need the pallas arms)")
     args = p.parse_args()
 
     print("devices:", jax.devices(), flush=True)
@@ -197,7 +218,7 @@ def main():
         return toks, caches
 
     out = {}
-    for impl in ("xla", "pallas"):
+    for impl in ([] if args.census_only else args.impls.split(",")):
         out[f"{impl}_real"] = run(f"{impl} real loop (DUS append)",
                                   real_loop, impl)
         out[f"{impl}_nodus"] = run(f"{impl} append-ablated", nodus_loop,
@@ -209,25 +230,31 @@ def main():
             f"{impl} serve-faithful (sync+xfers)", faithful_loop, impl,
             sync_each=True)
 
-    if args.census:
-        for impl in ("xla", "pallas"):
-            try:
-                caches = fresh_caches(jax.random.key(1))
-                lowered = _decode_loop_batch.lower(
-                    params, cfg, caches[0], caches[1], base_t, pos_bases,
+    if args.census or args.census_only:
+        for impl in args.impls.split(","):
+            for tag, low in (
+                ("real", lambda c: _decode_loop_batch.lower(
+                    params, cfg, c[0], c[1], base_t, pos_bases,
                     final_len, jnp.int32(gap_start), first, args.seg,
-                    None, None, caches[2], caches[3],
+                    None, None, c[2], c[3],
                     dec_start=dec_start, i0=jnp.int32(0),
                     done0=jnp.zeros((B,), bool),
-                    step_off=jnp.zeros((B,), jnp.int32), attn_impl=impl,
-                )
-                txt = lowered.compile().as_text()
-                n = _cache_copies(txt, dims)
-                print(f"{impl}: full-cache copy ops in compiled HLO: {n}",
-                      flush=True)
-                del caches
-            except Exception as e:  # noqa: BLE001
-                print(f"{impl}: HLO census unavailable: {e}", flush=True)
+                    step_off=jnp.zeros((B,), jnp.int32), attn_impl=impl)),
+                ("nodus", lambda c: _decode_loop_nodus.lower(
+                    params, cfg, c[0], c[1], c[2], c[3], base_t, pos_bases,
+                    final_len, jnp.int32(gap_start), first, args.seg,
+                    dec_start, impl)),
+            ):
+                try:
+                    caches = fresh_caches(jax.random.key(1))
+                    txt = low(caches).compile().as_text()
+                    n = _cache_copies(txt, dims, show=True)
+                    print(f"{impl} [{tag}]: full-cache copy ops in "
+                          f"compiled HLO: {n}", flush=True)
+                    del caches
+                except Exception as e:  # noqa: BLE001
+                    print(f"{impl} [{tag}]: HLO census unavailable: {e}",
+                          flush=True)
 
     print(out, flush=True)
 
