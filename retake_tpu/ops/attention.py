@@ -228,13 +228,16 @@ def decode_attention_batch_gapped(
     #   serving shapes, more than the attention itself)
     impl: str = "xla",  # "pallas"/"flash": dead-block-skipping kernel
     #   (ops/pallas/decode_gapped.py) — HBM reads track the LIVE regions
-    #   instead of B x bucket; "xla": full-bucket masked einsum. Kernel
-    #   wins (tools/decode_gapped_bench.py, n=100 amortized): mixed-length
-    #   serving buckets 1.3-2.7x at B=8 (bf16 and int8 — int8 uses the
-    #   same commuting-scale math as the einsum: scales land on the
-    #   [ROWS, BK] score/prob rows, lane-major scale DMA); ~1.0x on
-    #   uniform bucket-grouped batches. An earlier whole-block-dequant
-    #   int8 variant was 2-4x slower — see the kernel docstring.
+    #   instead of B x bucket; "xla": full-bucket masked einsum. With a
+    #   2048-aligned bucket and the kernel's per-dtype block sizes the
+    #   kernel wins IN THE SERVING SCAN (tools/serve_decode_bisect.py,
+    #   on-chip 2026-08-20): bf16 B=8 9.1 vs 17.4 ms/decode-step, int8
+    #   B=8 8.5 vs 11.4; ~1.0x on uniform bucket-grouped batches (the
+    #   eval decode_batch path stays einsum for token-exactness). int8
+    #   uses the same commuting-scale math as the einsum: scales land on
+    #   the [ROWS, BK] score/prob rows, lane-major scale DMA. An earlier
+    #   whole-block-dequant int8 variant was 2-4x slower — see the kernel
+    #   docstring.
 ) -> jax.Array:
     """Batched single-token attention over gap-layout caches.
 

@@ -68,9 +68,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# RETAKE_GAPPED_BLOCK_K: experiment knob (read once at import) for the
-# grid-overhead attribution sweeps in tools/serve_decode_bisect.py.
-DEFAULT_BK = int(os.environ.get("RETAKE_GAPPED_BLOCK_K", 2048))
+# Per-dtype default DMA block. The int8 working set per grid step is
+# larger than bf16's at equal BK (the s8 blocks PLUS their cast-to-bf16
+# temporaries PLUS the fp32 scale planes), and the measured cost is
+# sharply super-linear in BK once that set crowds scoped VMEM: on-chip
+# int8 B=8/40960-bucket serving geometry (tools/serve_decode_bisect.py,
+# 2026-08-20) the isolated decode loop reads 8.5 / 32.2 / 39.2 ms/step at
+# BK=1024/2048/4096, vs the XLA einsum's 11.4 — block size flips the
+# kernel from a 2.8x loss to a 1.3x win. bf16 B=8 at BK=2048 is
+# 9.1 ms/step vs einsum 17.4 (1.9x win).
+# RETAKE_GAPPED_BLOCK_K: experiment override (read once at import) for
+# the attribution sweeps in tools/serve_decode_bisect.py.
+_BK_ENV = os.environ.get("RETAKE_GAPPED_BLOCK_K")
+DEFAULT_BK = int(_BK_ENV) if _BK_ENV else 2048
+DEFAULT_BK_INT8 = int(_BK_ENV) if _BK_ENV else 1024
 # RETAKE_GAPPED_INT8_DIRECT=1: feed the int8 blocks straight into
 # dot_general (mixed bf16 x int8) instead of casting them to the compute
 # dtype first — attribution experiment for the int8-mode in-scan cost.
@@ -200,7 +211,8 @@ def decode_gapped_flash_state(
     layer=None,  # scalar int32 — stacked mode: which layer of the 5-D cache
     #   to attend over (see module docstring: avoids materialized per-layer
     #   slice operands in the serving decode loop)
-    block_k: int = DEFAULT_BK,
+    block_k: int | None = None,  # None = per-dtype default (DEFAULT_BK /
+    #   DEFAULT_BK_INT8 — int8 mode needs smaller blocks, see module header)
 ):
     """Unnormalized flash state over the cache's live regions.
 
@@ -219,6 +231,8 @@ def decode_gapped_flash_state(
     )
     s = key_cache.shape[-2]
     quantized = k_scale is not None
+    if block_k is None:
+        block_k = DEFAULT_BK_INT8 if quantized else DEFAULT_BK
     block_k = _pick_block_k(s, block_k)
     num_kb = s // block_k
 

@@ -180,7 +180,7 @@ class ContinuousServer:
         gap_capacity: Optional[int] = None,
         interleave_prefill: bool = True,
         interleave_segments_per_hook: int = 1,
-        decode_attn_impl: str = "xla",
+        decode_attn_impl: str = "auto",
         vision_cache_slots: int = 0,
         prefix_cache_slots: int = 0,
         prefix_reserve_tokens: int = 512,
@@ -250,20 +250,35 @@ class ContinuousServer:
         # (tools/overlap_ablation.py).
         self.interleave = bool(interleave_prefill)
         self.per_hook = max(1, int(interleave_segments_per_hook))
-        # decode attention over the shared serving bucket. "xla" (default):
-        # full-bucket masked einsum — same fp reduction order as the
-        # sequential decode path, preserving this server's token-exactness
-        # claim vs per-request generate. "pallas": dead-block-skipping
-        # kernel (ops/pallas/decode_gapped.py) — HBM reads track each
-        # slot's LIVE regions instead of B x bucket; 1.3-2.7x faster
-        # attention for mixed-length tenants at B=8 under a long shared
-        # bucket, bf16 AND int8 (tools/decode_gapped_bench.py), but a
-        # flash-order reduction, so tokens may diverge from generate
-        # within ulps.
-        assert decode_attn_impl in ("xla", "pallas", "flash"), (
-            f"decode_attn_impl must be 'xla', 'pallas' or 'flash', got "
-            f"{decode_attn_impl!r}"
+        # decode attention over the shared serving bucket.
+        #   "pallas": dead-block-skipping kernel (ops/pallas/
+        #     decode_gapped.py) — HBM reads track each slot's LIVE regions
+        #     instead of B x bucket. With the 2048-aligned bucket and the
+        #     kernel's per-dtype block sizes this WINS end-to-end on the
+        #     chip (tools/serve_decode_bisect.py + serve_bench --mixed_impl,
+        #     2026-08-20): bf16 B=4 serving 423.9 vs 302.7 tok/s (1.40x),
+        #     isolated decode loop bf16 B=8 9.1 vs 17.4 ms/step (1.9x),
+        #     int8 B=8 8.5 vs 11.4 ms/step. Flash-order reduction: tokens
+        #     may diverge from per-request generate within ulps.
+        #   "xla": full-bucket masked einsum — same fp reduction order as
+        #     the sequential decode path; bit-exact tokens vs generate.
+        #   "auto" (default): "pallas" on an accelerator when the model's
+        #     GQA group fits the kernel's 8-row query tile; "xla" on the
+        #     CPU backend (interpret-mode pallas is orders slower) and for
+        #     wider GQA groups. Pass "xla" explicitly when bit-exact parity
+        #     with generate matters more than throughput.
+        assert decode_attn_impl in ("auto", "xla", "pallas", "flash"), (
+            f"decode_attn_impl must be 'auto', 'xla', 'pallas' or 'flash',"
+            f" got {decode_attn_impl!r}"
         )
+        if decode_attn_impl == "auto":
+            group = (self.cfg.num_attention_heads
+                     // self.cfg.num_key_value_heads)
+            decode_attn_impl = (
+                "pallas"
+                if jax.default_backend() != "cpu" and group <= 8
+                else "xla"
+            )
         self.decode_attn_impl = str(decode_attn_impl)
         self.staged = []  # un-harvested segment token arrays (device)
         self.emitted = np.zeros(self.b, np.int32)

@@ -61,6 +61,29 @@ def _build(tiny, rng, n_reqs=4):
     return engine, reqs
 
 
+def test_decode_attn_impl_auto_resolution(tiny, rng, monkeypatch):
+    """decode_attn_impl="auto" (the default): einsum on the CPU backend
+    (interpret-mode pallas is orders slower and the parity tests pin exact
+    tokens), the gapped kernel on an accelerator when the GQA group fits
+    its 8-row query tile (serve_bench --mixed_impl 2026-08-20: pallas
+    423.9 vs xla 302.7 tok/s at bf16 B=4)."""
+    from retake_tpu.runtime import serve as serve_mod
+
+    engine, _ = _build(tiny, rng, n_reqs=1)
+    assert ContinuousServer(engine).decode_attn_impl == "xla"  # CPU tests
+
+    monkeypatch.setattr(serve_mod.jax, "default_backend", lambda: "tpu")
+    assert ContinuousServer(engine).decode_attn_impl == "pallas"
+    # a GQA group wider than the kernel's query-row tile falls back
+    wide = engine.cfg.__class__(**{
+        **{f.name: getattr(engine.cfg, f.name)
+           for f in engine.cfg.__dataclass_fields__.values()},
+        "num_attention_heads": 36, "num_key_value_heads": 2,
+    })
+    eng2 = type("E", (), {"cfg": wide, "retake": engine.retake})()
+    assert ContinuousServer(eng2).decode_attn_impl == "xla"
+
+
 def test_continuous_serve_matches_sequential(tiny, rng):
     """All-at-once arrivals, fewer slots than requests: every request's
     greedy tokens match its solo generate; tiny segments + a tiny gap
