@@ -30,6 +30,8 @@ def test_gate_tiny_smoke():
     assert rec["prefix_parity"]["ok"]
     assert rec["prefix_parity"]["token_exact"]
     assert rec["http_golden"]["ok"] and rec["http_golden"]["n_tokens"] > 0
+    assert rec["serve_decode_parity"]["ok"]
+    assert rec["serve_decode_parity"]["token_agreement"] >= 0.7
 
 
 def test_gate_stage_scripts_compile():
@@ -41,6 +43,7 @@ def test_gate_stage_scripts_compile():
         "demo.py",
         "tools/quant_ablation.py",
         "tools/gate_http_stage.py",
+        "tools/gate_serve_decode_stage.py",
         "tools/first_checkpoint_gate.py",
         "retake_tpu/eval/infer_eval.py",
     ):

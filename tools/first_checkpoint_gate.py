@@ -205,6 +205,26 @@ def stage_http(args):
     return rec
 
 
+def stage_serve_decode(args):
+    """Decode-kernel serving parity: all three demo questions through
+    ContinuousServer under decode_attn_impl="xla" AND "pallas" (what the
+    "auto" default resolves to on accelerators) must yield the same golden
+    answers — tools/gate_serve_decode_stage.py."""
+    cmd = ["tools/gate_serve_decode_stage.py", "--config", args.config]
+    if args.tiny_smoke:
+        cmd += ["--tiny"]
+    else:
+        cmd += ["--hf_path", args.hf_path]
+        if args.video:
+            cmd += ["--video", args.video]
+    rc, lines, err = _run(cmd)
+    rec = _last_json(lines) or {}
+    if rc != 0 and not rec:
+        return {"ok": False, "error": err[-300:]}
+    rec["ok"] = bool(rec.get("ok"))
+    return rec
+
+
 def stage_videomme(args):
     if not args.videomme_anno:
         return {"ok": False, "error": "no --videomme_anno given"}
@@ -255,7 +275,7 @@ def main():
                         "quantized mode")
     p.add_argument("--skip", nargs="*", default=[],
                    choices=["demo", "quant", "videomme", "spec", "http",
-                            "prefix"])
+                            "prefix", "serve_decode"])
     p.add_argument("--tiny-smoke", action="store_true",
                    help="CPU dry-run of the gate itself on the tiny random "
                         "model (no checkpoint needed; exercised by "
@@ -280,6 +300,8 @@ def main():
         report["prefix_parity"] = stage_prefix(args, baseline=demo_rec)
     if "http" not in args.skip:
         report["http_golden"] = stage_http(args)
+    if "serve_decode" not in args.skip:
+        report["serve_decode_parity"] = stage_serve_decode(args)
     if "videomme" not in args.skip:
         report["videomme_slice"] = stage_videomme(args)
     report["pass"] = all(v.get("ok") for v in report.values())
