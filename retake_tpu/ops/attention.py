@@ -229,10 +229,11 @@ def decode_attention_batch_gapped(
     impl: str = "xla",  # "pallas"/"flash": dead-block-skipping kernel
     #   (ops/pallas/decode_gapped.py) — HBM reads track the LIVE regions
     #   instead of B x bucket; "xla": full-bucket masked einsum. With a
-    #   2048-aligned bucket and the kernel's per-dtype block sizes the
+    #   2048-aligned bucket and the kernel's row-aligned block choice
+    #   (num_kb on the fp32 sublane tile for the int8 scale planes) the
     #   kernel wins IN THE SERVING SCAN (tools/serve_decode_bisect.py,
     #   on-chip 2026-08-20): bf16 B=8 9.1 vs 17.4 ms/decode-step, int8
-    #   B=8 8.5 vs 11.4; ~1.0x on uniform bucket-grouped batches (the
+    #   B=8 8.0 vs 11.4; ~1.0x on uniform bucket-grouped batches (the
     #   eval decode_batch path stays einsum for token-exactness). int8
     #   uses the same commuting-scale math as the einsum: scales land on
     #   the [ROWS, BK] score/prob rows, lane-major scale DMA. An earlier

@@ -68,20 +68,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# Per-dtype default DMA block. The int8 working set per grid step is
-# larger than bf16's at equal BK (the s8 blocks PLUS their cast-to-bf16
-# temporaries PLUS the fp32 scale planes), and the measured cost is
-# sharply super-linear in BK once that set crowds scoped VMEM: on-chip
-# int8 B=8/40960-bucket serving geometry (tools/serve_decode_bisect.py,
-# 2026-08-20) the isolated decode loop reads 8.5 / 32.2 / 39.2 ms/step at
-# BK=1024/2048/4096, vs the XLA einsum's 11.4 — block size flips the
-# kernel from a 2.8x loss to a 1.3x win. bf16 B=8 at BK=2048 is
-# 9.1 ms/step vs einsum 17.4 (1.9x win).
+# Default DMA block target, both dtypes. int8 mode additionally
+# constrains the choice so num_kb = S/BK is a multiple of 8: the fp32
+# scale planes are reshaped [..., S] -> [..., num_kb, BK] and that
+# operand's last-2-dim tiling is (8, 128) — an unaligned num_kb forces a
+# padded/strided layout whose per-step cost dwarfs everything else.
+# Measured on-chip (tools/serve_decode_bisect.py, int8 B=8, 2026-08-20):
+#   S=43008: BK=1792 (nk=24 ok) 8.0 ms/step, BK=896 (nk=48 ok) 9.3,
+#            BK=1024 (nk=42 BAD) 33.2, BK=512 (nk=84 BAD) 33.6
+#   S=40960: BK=1024 (nk=40 ok) 8.5, BK=2048 (nk=20 BAD) 32.2,
+#            BK=4096 (nk=10 BAD) 39.2      (XLA einsum arm: 11.4)
+# The earlier "int8 VMEM supralinearity in BK" reading of this data was a
+# misattribution — aligned BK=1792 beats aligned BK=896, so bigger blocks
+# help int8 exactly as they do bf16 once num_kb is tile-aligned. bf16 has
+# no scale planes and is insensitive (BK=2048, nk=21: 9.1 ms vs 17.4).
 # RETAKE_GAPPED_BLOCK_K: experiment override (read once at import) for
-# the attribution sweeps in tools/serve_decode_bisect.py.
+# the attribution sweeps in tools/serve_decode_bisect.py — it requests
+# the EXACT block target with no row-alignment preference.
 _BK_ENV = os.environ.get("RETAKE_GAPPED_BLOCK_K")
 DEFAULT_BK = int(_BK_ENV) if _BK_ENV else 2048
-DEFAULT_BK_INT8 = int(_BK_ENV) if _BK_ENV else 1024
 # RETAKE_GAPPED_INT8_DIRECT=1: feed the int8 blocks straight into
 # dot_general (mixed bf16 x int8) instead of casting them to the compute
 # dtype first — attribution experiment for the int8-mode in-scan cost.
@@ -89,24 +94,38 @@ INT8_DIRECT = os.environ.get("RETAKE_GAPPED_INT8_DIRECT", "0") == "1"
 ROWS = 8  # query rows per (b, kv) step: G padded to the sublane tile
 
 
-def _pick_block_k(s: int, block_k: int) -> int:
-    """Largest divisor of ``s`` that is <= ``block_k`` and a multiple of
-    128 (the lane tile) — NOT just power-of-two halvings. The grid is
-    DENSE: every (slot, kv head) sweeps s/block_k steps per layer whether
-    blocks are live or dead, so a collapsed block size multiplies grid
-    overhead directly. The old halving chain turned the serving bucket
-    41088 (= 321 x 128, 321 odd) into block_k=128 -> 321 grid steps per
-    (b, kv): measured 43 vs ~14 ms per decode step at int8 B=8 serving
-    shapes (tools/serve_decode_bisect.py). ContinuousServer also aligns
-    its bucket to 2048 (gap-column padding) so production serving never
-    relies on this fallback; arbitrary caller buckets degrade gracefully
-    to the best 128-multiple divisor. Sub-128 test shapes keep halving."""
+def _pick_block_k(s: int, block_k: int, row_align: int = 1) -> int:
+    """Largest divisor of ``s`` that is <= ``block_k``, a multiple of
+    128 (the lane tile), and — when ``row_align`` is set — leaves
+    ``s // bk`` a multiple of ``row_align``. NOT just power-of-two
+    halvings: the grid is DENSE (every (slot, kv head) sweeps s/block_k
+    steps per layer whether blocks are live or dead), so a collapsed
+    block size multiplies grid overhead directly — the old halving chain
+    turned the serving bucket 41088 (= 321 x 128, 321 odd) into
+    block_k=128 -> 321 grid steps per (b, kv): measured 43 vs ~14 ms per
+    decode step at int8 B=8 serving shapes.
+
+    ``row_align=8`` is the int8 mode's constraint: the reshaped scale
+    planes [..., num_kb, bk] need num_kb on the fp32 sublane tile or the
+    operand layout goes padded/strided (4x decode-step regressions — see
+    the module header's measurements). Any 2048-aligned bucket admits
+    bk=256 with num_kb%8==0, so production serving (ContinuousServer pads
+    its bucket to 2048) always has an aligned choice; arbitrary caller
+    buckets degrade gracefully by dropping the row constraint, then to
+    the best plain 128-multiple divisor. Sub-128 test shapes keep
+    halving."""
     block_k = min(block_k, s)
-    if s % block_k == 0:
-        return block_k
-    for cand in range(block_k - block_k % 128, 127, -128):
-        if s % cand == 0:
-            return cand
+    for align in ((row_align, 1) if row_align > 1 else (1,)):
+        # a tiny aligned block is NOT worth the dense-grid collapse (128
+        # -> 321 steps measured 43 ms vs ~33 for the padded-scale mode):
+        # only honor the row constraint down to 512, then fall back to
+        # the plain largest-divisor rule
+        floor = 512 if align > 1 else 128
+        if s % block_k == 0 and (s // block_k) % align == 0:
+            return block_k
+        for cand in range(block_k - block_k % 128, floor - 1, -128):
+            if s % cand == 0 and (s // cand) % align == 0:
+                return cand
     while s % block_k:
         block_k //= 2
     return block_k
@@ -211,8 +230,8 @@ def decode_gapped_flash_state(
     layer=None,  # scalar int32 — stacked mode: which layer of the 5-D cache
     #   to attend over (see module docstring: avoids materialized per-layer
     #   slice operands in the serving decode loop)
-    block_k: int | None = None,  # None = per-dtype default (DEFAULT_BK /
-    #   DEFAULT_BK_INT8 — int8 mode needs smaller blocks, see module header)
+    block_k: int | None = None,  # None = DEFAULT_BK target; int8 mode
+    #   additionally keeps num_kb 8-row-aligned (see module header)
 ):
     """Unnormalized flash state over the cache's live regions.
 
@@ -232,8 +251,11 @@ def decode_gapped_flash_state(
     s = key_cache.shape[-2]
     quantized = k_scale is not None
     if block_k is None:
-        block_k = DEFAULT_BK_INT8 if quantized else DEFAULT_BK
-    block_k = _pick_block_k(s, block_k)
+        block_k = DEFAULT_BK
+    # int8 scale planes constrain num_kb to the sublane tile unless an
+    # explicit/env block size asks for an exact sweep point
+    row_align = 8 if (quantized and not _BK_ENV) else 1
+    block_k = _pick_block_k(s, block_k, row_align)
     num_kb = s // block_k
 
     q = query

@@ -1686,9 +1686,10 @@ def decode_batch(
     #   kernel has nothing to skip and runs 0.74-0.99x the einsum
     #   (tools/decode_gapped_bench.py). The kernel pays off in CONTINUOUS
     #   serving (runtime/serve.py: one shared 2048-aligned bucket, mixed
-    #   tenants — 1.4x end-to-end bf16 B=4, 1.3x int8 B=8 with the
-    #   per-dtype kernel blocks; serve's decode_attn_impl="auto" selects
-    #   it on accelerators, tools/serve_decode_bisect.py 2026-08-20).
+    #   tenants — end-to-end 1.40x bf16 B=4 and 1.29x int8 B=8 (736.9 vs
+    #   573.4 tok/s) with the row-aligned kernel blocks; serve's
+    #   decode_attn_impl="auto" selects it on accelerators,
+    #   tools/serve_decode_bisect.py + serve_bench 2026-08-20).
     early_stop: bool = False,  # while_loop decode: stop once every
     #   request in the batch has emitted EOS — token-identical, and with
     #   real checkpoints (answers of a few tokens vs max_new=128) it

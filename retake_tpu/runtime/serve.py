@@ -254,12 +254,13 @@ class ContinuousServer:
         #   "pallas": dead-block-skipping kernel (ops/pallas/
         #     decode_gapped.py) — HBM reads track each slot's LIVE regions
         #     instead of B x bucket. With the 2048-aligned bucket and the
-        #     kernel's per-dtype block sizes this WINS end-to-end on the
-        #     chip (tools/serve_decode_bisect.py + serve_bench --mixed_impl,
-        #     2026-08-20): bf16 B=4 serving 423.9 vs 302.7 tok/s (1.40x),
-        #     isolated decode loop bf16 B=8 9.1 vs 17.4 ms/step (1.9x),
-        #     int8 B=8 8.5 vs 11.4 ms/step. Flash-order reduction: tokens
-        #     may diverge from per-request generate within ulps.
+        #     kernel's row-aligned block choice this WINS end-to-end on
+        #     the chip (tools/serve_decode_bisect.py + serve_bench
+        #     --mixed_impl, 2026-08-20): bf16 B=4 serving 423.9 vs 302.7
+        #     tok/s (1.40x); int8 B=8 serving 736.9 vs 573.4 tok/s
+        #     (1.29x); isolated decode loop bf16 B=8 9.1 vs 17.4 ms/step,
+        #     int8 B=8 8.0 vs 11.4. Flash-order reduction: tokens may
+        #     diverge from per-request generate within ulps.
         #   "xla": full-bucket masked einsum — same fp reduction order as
         #     the sequential decode path; bit-exact tokens vs generate.
         #   "auto" (default): "pallas" on an accelerator when the model's

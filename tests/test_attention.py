@@ -279,6 +279,19 @@ def test_decode_gapped_block_k_divisor_choice():
     assert _pick_block_k(384, 256) == 128  # divisor below the request
     assert _pick_block_k(64, 2048) == 64  # tiny test shapes: s itself
     assert _pick_block_k(96, 64) == 32  # sub-128: halving fallback
+    # int8 mode (row_align=8): num_kb = s/bk must sit on the fp32 sublane
+    # tile or the reshaped scale planes go padded/strided (measured 4x
+    # decode-step regressions — decode_gapped.py module header)
+    assert _pick_block_k(43008, 2048, 8) == 1792  # nk=24 (2048 -> nk=21)
+    assert _pick_block_k(40960, 2048, 8) == 1280  # nk=32 (2048 -> nk=20)
+    assert _pick_block_k(32768, 2048, 8) == 2048  # nk=16: target itself ok
+    # 41984 = 41x1024: the only aligned choice is bk=128 (nk=328), but a
+    # 128-block dense grid is WORSE than the padded-scale mode — the
+    # >=512 aligned-candidate floor drops the constraint instead
+    assert _pick_block_k(41984, 2048, 8) == 1024
+    # no aligned 128-multiple divisor at all -> plain divisor fallback
+    assert _pick_block_k(41088, 2048, 8) == 384
+    assert _pick_block_k(64, 2048, 8) == 64  # tiny shapes unaffected
 
 
 def test_decode_gapped_non_pow2_bucket_parity(rng):

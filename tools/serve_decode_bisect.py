@@ -1,21 +1,27 @@
-"""Bisect the gapped-decode serving gap: OP-level the pallas kernel beats
-the full-bucket einsum on mixed-length B=8 buckets (1.2-3.2x,
-tools/decode_gapped_bench.py) yet LOSES inside the real serving segment
-loop (tools/serve_bench.py --mixed_impl). Findings so far (on-chip
-2026-08-19, 2B geometry, 41088 bucket, mixed tenants):
+"""Bisect the gapped-decode serving behavior: isolated decode-loop arms
+(async / append-ablated / host-synced / serve-faithful) plus an HLO
+full-cache-copy census, at any bucket / batch / kv dtype / block size
+(RETAKE_GAPPED_BLOCK_K). History of findings this tool produced — the
+two geometry traps that had masked the kernel's serving win:
 
-  * bf16 B=4: isolated loop xla 11.1 / pallas 13.7 ms/step async; per-
-    segment host sync adds ~1.3 to BOTH; serve-faithful mirror transfers
-    add nothing; zero full-cache copies in compiled HLO; appends free.
-    The early recorded serving A/B (23.4 ms pallas) was tunnel variance —
-    a timestamped serve trace (RETAKE_SERVE_DEBUG=1) shows 14.7 ms/step
-    steady segments, matching this tool's prediction.
-  * int8 B=8: the serving trace shows a REPRODUCIBLE 44 ms/step cadence
-    (xla arm: 13.6). This tool's --kv_dtype int8 --batch 8 isolates
-    whether that lives in the decode loop or the server flow.
+  * Round 4 (41088 bucket): the "pallas loses 2-3x" serving numbers were
+    the unaligned bucket collapsing block_k to 128 (321 dense grid steps
+    per (b, kv)); the bf16 23.4 ms TPOT reading was tunnel variance
+    (timestamped serve trace: 14.7 ms steady).
+  * Round 5 (43008, the server's real 2048-aligned bucket): int8 mode is
+    violently sensitive to num_kb = S/block_k sitting on the fp32
+    sublane tile — the scale planes reshape [...,S] -> [...,num_kb,BK]
+    and an unaligned num_kb pads/strides that operand's (8,128) tiling:
+    33-39 ms/step at nk 42/84/20/10 vs 8.0-9.3 at nk 24/48/40 (bf16 has
+    no scale planes and is insensitive). An intermediate "VMEM
+    supralinearity in BK" reading was a misattribution. Fix:
+    decode_gapped._pick_block_k keeps nk % 8 == 0 in int8 mode.
+
+Resolved end-to-end (serve_bench --mixed_impl, 2026-08-20): pallas wins
+bf16 B=4 423.9 vs 302.7 tok/s and int8 B=8 736.9 vs 573.4.
 
 Run on the chip:  python tools/serve_decode_bisect.py [--batch 8
---kv_dtype int8]
+--kv_dtype int8 --bucket 43008] [--impls pallas --arms real]
 """
 
 from __future__ import annotations
@@ -113,6 +119,10 @@ def main():
     p.add_argument("--impls", default="xla,pallas",
                    help="comma list — run a subset (block_k sweeps only "
                         "need the pallas arms)")
+    p.add_argument("--arms", default="real,nodus,sync,faithful",
+                   help="comma list of timing arms — 'real' alone halves "
+                        "the compile count for block_k sweeps (tunnel "
+                        "compiles vary 20 s - 5 min per program)")
     args = p.parse_args()
 
     print("devices:", jax.devices(), flush=True)
@@ -217,18 +227,23 @@ def main():
         state["cur"] = toks[-1]
         return toks, caches
 
+    arms = args.arms.split(",")
     out = {}
     for impl in ([] if args.census_only else args.impls.split(",")):
-        out[f"{impl}_real"] = run(f"{impl} real loop (DUS append)",
-                                  real_loop, impl)
-        out[f"{impl}_nodus"] = run(f"{impl} append-ablated", nodus_loop,
-                                   impl)
-        out[f"{impl}_sync"] = run(f"{impl} real loop, host-synced",
-                                  real_loop, impl, sync_each=True)
-        state["cur"] = first
-        out[f"{impl}_faithful"] = run(
-            f"{impl} serve-faithful (sync+xfers)", faithful_loop, impl,
-            sync_each=True)
+        if "real" in arms:
+            out[f"{impl}_real"] = run(f"{impl} real loop (DUS append)",
+                                      real_loop, impl)
+        if "nodus" in arms:
+            out[f"{impl}_nodus"] = run(f"{impl} append-ablated", nodus_loop,
+                                       impl)
+        if "sync" in arms:
+            out[f"{impl}_sync"] = run(f"{impl} real loop, host-synced",
+                                      real_loop, impl, sync_each=True)
+        if "faithful" in arms:
+            state["cur"] = first
+            out[f"{impl}_faithful"] = run(
+                f"{impl} serve-faithful (sync+xfers)", faithful_loop, impl,
+                sync_each=True)
 
     if args.census or args.census_only:
         for impl in args.impls.split(","):
