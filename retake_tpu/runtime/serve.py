@@ -281,6 +281,9 @@ class ContinuousServer:
                 else "xla"
             )
         self.decode_attn_impl = str(decode_attn_impl)
+        # set for real at _init_buffers (first admission); the pre-buffer
+        # _gap_cols callers only need the bf16 default
+        self._quantized = False
         self.staged = []  # un-harvested segment token arrays (device)
         self.emitted = np.zeros(self.b, np.int32)
         self._slot_req = None
@@ -317,13 +320,27 @@ class ContinuousServer:
         hundred MB at most at production shapes); the compaction trigger
         keeps the caller's ``gap_capacity`` semantics, and the write
         pointer never enters the padding (f_global <= gap_cap at every
-        dispatch)."""
+        dispatch). With an int8 cache on the pallas impl the padding
+        additionally guarantees a num_kb-row-aligned block choice >= 512
+        exists (the scale-plane tiling constraint, decode_gapped.py
+        module header): a 2048-aligned bucket whose S/2048 multiplier is
+        an odd prime (e.g. S = 2048 x 17) admits none and would silently
+        fall into the 4x-slower padded-scale mode — one extra 2048 bump
+        makes S 4096-aligned, where bk=512 always qualifies."""
         s = self.p_bucket + self.gap_cap
-        return self.gap_cap + (-s) % 2048
+        pad = (-s) % 2048
+        if (self._quantized and s + pad >= 4096
+                and self.decode_attn_impl in ("pallas", "flash")):
+            from retake_tpu.ops.pallas.decode_gapped import _pick_block_k
+
+            while ((s + pad) // _pick_block_k(s + pad, 2048, 8)) % 8:
+                pad += 2048  # one bump makes S 4096-aligned: bk=512 fits
+        return self.gap_cap + pad
 
     def _init_buffers(self, st: PrefillState):
         cache = st.cache
         l, kv, _, d = cache.k.shape
+        self._quantized = cache.quantized
         s_attn = self.p_bucket + self._gap_cols()
         quant = cache.quantized
         self.k_all = jnp.zeros((l, self.b, kv, s_attn, d), cache.k.dtype)

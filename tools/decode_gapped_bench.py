@@ -100,14 +100,19 @@ def main():
     for gname, heads, kv in (("2B 12q/2kv", 12, 2), ("7B 28q/4kv", 28, 4)):
         for quant in (False, True):
             tag = f"{gname}{' int8' if quant else ' bf16'}"
-            # serving: bucket 40960 + 1024 gap, mixed tenants
-            run(f"{tag} serve-mixed B=4", heads, kv, 4, 40960 + 1024,
+            # serving: ContinuousServer's real geometry — prefill bucket
+            # 40960 + gap columns padded so the total is 2048-aligned
+            # (43008; an odd bucket like 41984 admits no num_kb-aligned
+            # int8 block >= 512 and lands in the padded-scale-plane mode,
+            # see decode_gapped.py module header)
+            run(f"{tag} serve-mixed B=4", heads, kv, 4, 43008,
                 [8194, 8194, 32002, 0], [40960 + 256] * 4, 40960, 512,
                 quant)
-            run(f"{tag} serve-mixed B=8", heads, kv, 8, 40960 + 1024,
+            run(f"{tag} serve-mixed B=8", heads, kv, 8, 43008,
                 [8194, 8194, 4096, 4096, 32002, 8194, 0, 0],
                 [40960 + 256] * 8, 40960, 512, quant)
-            # uniform full-budget batch (decode_batch after bucket grouping)
+            # uniform full-budget batch (decode_batch after bucket
+            # grouping — the EVAL engine's geometry, einsum default)
             run(f"{tag} uniform B=8 32k", heads, kv, 8, 32768 + 1024,
                 [32002] * 8, [32768] * 8, 32768, 512, quant)
             # short uniform batch at its own bucket (best XLA case)
