@@ -9,6 +9,15 @@ grouping) should be ~neutral — the kernel must not LOSE there.
 
 Amortized dispatch (n>=20 calls, one fence) per CLAUDE.md; bf16 and
 int8-cache modes at 2B (12q/2kv) and 7B (28q/4kv) geometry.
+
+NB this OP-level A/B (caches as jit args, one attention call per step) is
+a sanity check, not the ground truth: inside the real 28-layer decode
+scan XLA schedules/fuses differently and the gap widens — at the 43008
+serving bucket (on-chip 2026-08-20) this tool reads 0.70-1.10x at 2B and
+1.44-1.65x at 7B serve-mixed, while the in-scan loop
+(tools/serve_decode_bisect.py) measures 1.4-1.9x at 2B and the
+end-to-end serving A/B 1.29-1.40x. Uniform arms stay ~1.0x as required
+(the eval decode_batch einsum default).
 """
 
 import os as _os, sys as _sys
