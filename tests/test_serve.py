@@ -84,6 +84,31 @@ def test_decode_attn_impl_auto_resolution(tiny, rng, monkeypatch):
     assert ContinuousServer(eng2).decode_attn_impl == "xla"
 
 
+def test_gap_cols_int8_pallas_alignment(tiny, rng):
+    """_gap_cols guarantees the int8+pallas serving bucket admits a
+    num_kb-row-aligned kernel block >= 512 (decode_gapped.py: the scale
+    planes' (8, 128) tiling — an S/2048 multiplier like 17 admits none
+    and would silently land in the 4x-slower padded-scale mode; measured
+    on-chip 2026-08-20). The production 40960 bucket must stay at 43008
+    (where the serving numbers were measured); a 2048x17-shaped bucket
+    must bump one extra 2048 to 36864."""
+    from retake_tpu.ops.pallas.decode_gapped import _pick_block_k
+
+    engine, _ = _build(tiny, rng, n_reqs=1)
+    srv = ContinuousServer(engine, decode_attn_impl="pallas")
+    srv._quantized = True
+    for p_bucket, want_s in ((40960, 43008), (32768, 36864), (8192, 10240)):
+        srv.p_bucket = p_bucket
+        s = p_bucket + srv._gap_cols()
+        assert s == want_s, (p_bucket, s)
+        bk = _pick_block_k(s, 2048, 8)
+        assert s % bk == 0 and bk % 128 == 0 and (s // bk) % 8 == 0
+    # bf16 (or xla impl) keeps the plain 2048 alignment
+    srv._quantized = False
+    srv.p_bucket = 32768
+    assert srv.p_bucket + srv._gap_cols() == 34816
+
+
 def test_continuous_serve_matches_sequential(tiny, rng):
     """All-at-once arrivals, fewer slots than requests: every request's
     greedy tokens match its solo generate; tiny segments + a tiny gap
