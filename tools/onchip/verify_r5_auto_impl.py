@@ -10,6 +10,13 @@ Checks (2B random weights, 64-frame requests):
      this reports the agreement fraction instead of asserting equality
      (report: expect ~1.0 at random-weight logit gaps).
 
+NB the decode_tok_s fields here are a ~400-token toy workload and NOT a
+perf A/B — a 2026-08-21 run read pallas 43 vs xla 60 tok/s while the
+amortized decode loop at the same 10240 bucket measured them dead even
+(7.82 vs 7.92 ms/step, serve_decode_bisect --bucket 10240 --arms real).
+Small-batch wall clock through the tunnel flips run-to-run (CLAUDE.md
+round-3 facts); use serve_bench/serve_decode_bisect for perf claims.
+
 Run: python tools/onchip/verify_r5_auto_impl.py
 """
 
