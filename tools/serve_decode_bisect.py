@@ -116,6 +116,11 @@ def main():
     p.add_argument("--census_only", action="store_true",
                    help="skip the timing arms (census implies compiles "
                         "only — cheap attribution rerun)")
+    p.add_argument("--model", choices=["2b", "7b"], default="2b",
+                   help="7b: Qwen2-VL-7B geometry (28q/4kv heads, int8 "
+                        "weights — bf16 7B does not fit 16 GB; pair with "
+                        "--kv_dtype int8 --batch 4: the 4-kv-head cache "
+                        "at B=8/43008 alone is 9.2 GB int8)")
     p.add_argument("--impls", default="xla,pallas",
                    help="comma list — run a subset (block_k sweeps only "
                         "need the pallas arms)")
@@ -127,7 +132,16 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     bench._wait_for_hbm(8)
-    cfg, params = bench.build_model()
+    if args.model == "7b":
+        from retake_tpu.models.qwen2_vl import params as params_lib
+        from retake_tpu.models.qwen2_vl.config import Qwen2VLConfig
+
+        cfg = Qwen2VLConfig()  # 7B defaults
+        params = params_lib.init_params(
+            cfg, seed=0, quantize_int8=True, quantize_vit_int8=True
+        )
+    else:
+        cfg, params = bench.build_model()
 
     L = cfg.num_hidden_layers
     KV = cfg.num_key_value_heads
